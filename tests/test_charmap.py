@@ -1,0 +1,113 @@
+"""Label-codec contract tests.
+
+The integer/one-hot vectors here pin the exact codec contract the reference
+established (see /root/reference/util/test_dataProcessor.py:132-229): the
+same text must map to the same label ids so datasets and checkpoints remain
+interchangeable.
+"""
+
+import numpy as np
+import pytest
+
+from rnn_speech_tpu.charmap import (
+    ENGLISH_CHAR_MAP,
+    CharMap,
+    clean_label,
+    get_char_map,
+)
+
+
+@pytest.fixture(scope="module")
+def cm():
+    return CharMap(ENGLISH_CHAR_MAP)
+
+
+def test_char_map_shape(cm):
+    assert len(ENGLISH_CHAR_MAP) == 80
+    assert ENGLISH_CHAR_MAP[0] == "'d"
+    assert ENGLISH_CHAR_MAP[-1] == "_"
+    assert cm.eos_id == 79
+
+
+def test_clean_label():
+    assert clean_label("  What ! I'm not... ") == "what i'm not"
+    # The collapse is a single pass: triple spaces leave a residual pair.
+    assert clean_label("a   b") == "a  b"
+    assert clean_label("A-B_C") == "a b c"
+    assert clean_label("Hello, world.") == "hello world"
+
+
+def test_roundtrip(cm):
+    text = "What ! I'm not looking for... I'll do it..."
+    cleaned = clean_label(text)
+    ids = cm.encode(cleaned)
+    assert cm.decode(ids) == cleaned
+
+
+def test_three_char_token_at_end(cm):
+    assert cm.encode(clean_label("it'll")) == [60, 45, 1, 79]
+
+
+def test_first_map_entry(cm):
+    assert cm.encode(clean_label("'d")) == [0, 79]
+
+
+def test_capitalization_marks_word_starts(cm):
+    # "i will" -> "IWill_" with "ll" as a single token.
+    ids = cm.encode("i will")
+    assert ids == [60, 74, 34, 16, 79]
+
+
+def test_decode_drops_out_of_range(cm):
+    assert cm.decode([60, 999, -3, 45]) == "it"
+
+
+def test_decode_removes_single_eos(cm):
+    # Only one EOS occurrence is removed.
+    ids = [60, 79, 79]
+    assert cm.decode(ids) == "i_"
+
+
+def test_one_hot_first_item(cm):
+    vec = cm.one_hot("'d")
+    assert vec.shape == (2, 80)
+    assert vec[0, 0] == 1.0 and vec[0].sum() == 1.0
+    assert vec[1, 79] == 1.0 and vec[1].sum() == 1.0
+
+
+def test_one_hot_eos_only(cm):
+    vec = cm.one_hot("_", add_eos=False)
+    assert vec.shape == (1, 80)
+    assert vec[0, 79] == 1.0 and vec[0].sum() == 1.0
+
+
+def test_one_hot_double_letter(cm):
+    vec = cm.one_hot("bb", add_eos=False)
+    assert vec.shape == (1, 80)
+    assert vec[0, 8] == 1.0 and vec[0].sum() == 1.0
+
+
+def test_unknown_char_truncates(cm):
+    ids = cm.encode("ab#cd")
+    # Encoding aborts at '#': only "Ab" survives, plus EOS.
+    assert ids == [52 + 0, 27, 79]
+
+
+def test_encode_padded(cm):
+    arr, length = cm.encode_padded("it'll", max_len=8)
+    assert arr.shape == (8,)
+    assert length == 4
+    np.testing.assert_array_equal(arr[:4], [60, 45, 1, 79])
+    assert (arr[4:] == -1).all()
+
+
+def test_encode_padded_truncates(cm):
+    arr, length = cm.encode_padded("it'll", max_len=2)
+    assert length == 2
+    np.testing.assert_array_equal(arr, [60, 45])
+
+
+def test_get_char_map_registry():
+    assert len(get_char_map("english")) == 80
+    with pytest.raises(ValueError):
+        get_char_map("klingon")

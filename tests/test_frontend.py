@@ -1,0 +1,137 @@
+"""Frontend tests: host numpy reference + device (JAX) parity."""
+
+import numpy as np
+import pytest
+from scipy.signal import savgol_filter
+
+from rnn_speech_tpu import frontend
+from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend, featurize
+
+
+@pytest.fixture(scope="module")
+def sig():
+    rng = np.random.default_rng(3)
+    sr = 22050
+    t = np.arange(sr) / sr
+    x = (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 1300 * t + 0.4)
+        + 0.02 * rng.normal(size=sr)
+    ).astype(np.float32)
+    return x, sr
+
+
+# ----------------------------------------------------------------- host path
+
+def test_fbank_shape_and_dim(sig):
+    x, sr = sig
+    feats, length = frontend.extract_fbank(x, sr)
+    assert feats.shape[1] == 120
+    assert length == feats.shape[0]
+    # 1s @ 22050: ceil((22050 - 551)/220) = 98 frames.
+    assert length == 98
+
+
+def test_fbank_mean_normalized(sig):
+    x, sr = sig
+    feats, _ = frontend.extract_fbank(x, sr)
+    # Static banks are mean-normalized per filter over time (to ~ -1e-8).
+    np.testing.assert_allclose(feats[:, :40].mean(axis=0), -1e-8, atol=1e-4)
+
+
+def test_mfcc_shape(sig):
+    x, sr = sig
+    feats, length = frontend.extract_mfcc(x, sr)
+    assert feats.shape == (length, 20)
+    assert length == 1 + (len(x) - 1) // 220
+
+
+def test_savgol_delta_matches_scipy(sig):
+    x, sr = sig
+    feats, _ = frontend.extract_fbank(x, sr)
+    banks = feats[:, :40].T
+    ref = savgol_filter(banks.astype(np.float64), 9, polyorder=1, deriv=1, mode="interp")
+    np.testing.assert_allclose(feats[:, 40:80].T, ref, atol=1e-3)
+
+
+def test_audio_processor_truncation(sig):
+    x, sr = sig
+    ap = frontend.AudioProcessor(50, "fbank")
+    feats, length = ap.process_signal(x, sr)
+    assert feats.shape == (50, 120)
+    assert length == 98  # true pre-truncation length is reported
+
+
+def test_audio_processor_feature_sizes():
+    assert frontend.AudioProcessor(10, "mfcc").feature_size == 20
+    assert frontend.AudioProcessor(10, "fbank").feature_size == 120
+    with pytest.raises(ValueError):
+        frontend.AudioProcessor(10, "bogus")
+
+
+def test_mfcc_length_from_duration():
+    # 2.0 // 0.01 is 199.0 in binary float, so the estimate is 198.
+    assert frontend.AudioProcessor.get_mfcc_length_from_duration(2.0) == 198
+
+
+# --------------------------------------------------------------- device path
+
+@pytest.mark.parametrize("feature_type", ["fbank", "mfcc"])
+def test_device_matches_host_full_length(sig, feature_type):
+    x, sr = sig
+    fe = DeviceFrontend(feature_type, sr=sr, max_samples=len(x))
+    feats_dev, nf = featurize(
+        fe, np.asarray(x)[None, :], np.array([len(x)], dtype=np.int32)
+    )
+    feats_dev = np.asarray(feats_dev[0])
+    nf = int(nf[0])
+
+    extract = frontend.extract_fbank if feature_type == "fbank" else frontend.extract_mfcc
+    feats_host, length = extract(x, sr)
+    assert nf == length
+    scale = max(1.0, np.abs(feats_host).max())
+    np.testing.assert_allclose(
+        feats_dev[:nf] / scale, feats_host / scale, atol=2e-3
+    )
+
+
+@pytest.mark.parametrize("feature_type", ["fbank", "mfcc"])
+def test_device_padded_batch_matches_per_example(sig, feature_type):
+    """A short clip inside a padded batch must featurize as if alone."""
+    x, sr = sig
+    short = x[: sr // 2]
+    max_samples = len(x)
+    fe = DeviceFrontend(feature_type, sr=sr, max_samples=max_samples)
+
+    batch = np.zeros((2, max_samples), dtype=np.float32)
+    batch[0, :] = x
+    batch[1, : len(short)] = short
+    lengths = np.array([len(x), len(short)], dtype=np.int32)
+    feats, nf = featurize(fe, batch, lengths)
+    feats = np.asarray(feats)
+
+    extract = frontend.extract_fbank if feature_type == "fbank" else frontend.extract_mfcc
+    host_short, len_short = extract(short, sr)
+    assert int(nf[1]) == len_short
+    scale = max(1.0, np.abs(host_short).max())
+    np.testing.assert_allclose(
+        feats[1, :len_short] / scale, host_short / scale, atol=2e-3
+    )
+    # Padding region must be exactly zero.
+    assert np.all(feats[1, len_short:] == 0.0)
+
+
+def test_device_num_frames_matches_host_formula(sig):
+    x, sr = sig
+    # All >= 9 frames: shorter clips fail the Savitzky-Golay window on the
+    # host path too (reference behavior; corpus filter keeps clips > 0.4 s).
+    for n in [22050, 22000, 11111, 3000, 8820]:
+        fe = DeviceFrontend("fbank", sr=sr, max_samples=22050)
+        dev = int(fe.num_frames_for(np.array([n]))[0])
+        _, host_n = frontend.extract_fbank(x[:n], sr)
+        assert dev == host_n, f"fbank mismatch at n={n}: {dev} vs {host_n}"
+
+        fe_m = DeviceFrontend("mfcc", sr=sr, max_samples=22050)
+        dev_m = int(fe_m.num_frames_for(np.array([n]))[0])
+        _, host_m = frontend.extract_mfcc(x[:n], sr)
+        assert dev_m == host_m, f"mfcc mismatch at n={n}: {dev_m} vs {host_m}"

@@ -1,0 +1,169 @@
+"""Stacked LSTM recurrence: functional, time-major, TPU-first.
+
+Capability parity with the reference's RNN core — ``BasicLSTMCell`` stacks
+under time-major ``dynamic_rnn`` with sequence-length masking, carried state
+and per-cell dropout (/root/reference/models/AcousticModel.py:222-298) — but
+the design is JAX-native:
+
+  * Explicit parameter/state pytrees; no variables.  The reference's
+    persistent hidden-state Variables (state carried across session.run
+    calls for streaming) become explicit ``(h, c)`` carries returned to the
+    caller.
+  * The input contribution ``x @ W_x + b`` for *all* timesteps of a layer is
+    one large matmul before the scan (MXU-shaped: (T*B, D) @ (D, 4H)); the
+    scan body only does the recurrent (B, H) @ (H, 4H) matmul.
+  * Gate dynamics match ``BasicLSTMCell``: gate order (i, g, f, o) with
+    forget-gate bias +1.0; outputs past an example's true length are zero
+    and its state freezes at the last valid step (dynamic_rnn semantics).
+  * Dropout (input/output keep probabilities per cell, fresh mask each
+    timestep) is applied as elementwise work on the (T, B, ·) tensors
+    outside the scan, where XLA fuses it into the projections.
+  * An optional fused Pallas kernel (``lstm_pallas``) replaces the scan for
+    the recurrence on TPU; ``lax.scan`` is the autodiff/CPU path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+LayerState = Tuple[jnp.ndarray, jnp.ndarray]  # (c, h), each (B, H)
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[-2], shape[-1]
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def init_lstm_stack(
+    key: jax.Array,
+    num_layers: int,
+    input_size: int,
+    hidden_size: int,
+    dtype=jnp.float32,
+) -> List[Params]:
+    """Initialize a stack: layer l maps (input_size if l==0 else H) -> H."""
+    layers = []
+    for l in range(num_layers):
+        key, k1, k2 = jax.random.split(key, 3)
+        in_dim = input_size if l == 0 else hidden_size
+        layers.append(
+            {
+                "w_x": xavier_uniform(k1, (in_dim, 4 * hidden_size), dtype),
+                "w_h": xavier_uniform(k2, (hidden_size, 4 * hidden_size), dtype),
+                "b": jnp.zeros((4 * hidden_size,), dtype),
+            }
+        )
+    return layers
+
+
+def zero_state(
+    num_layers: int, batch_size: int, hidden_size: int, dtype=jnp.float32
+) -> List[LayerState]:
+    return [
+        (
+            jnp.zeros((batch_size, hidden_size), dtype),
+            jnp.zeros((batch_size, hidden_size), dtype),
+        )
+        for _ in range(num_layers)
+    ]
+
+
+def _cell_step(carry, inputs, w_h, compute_dtype):
+    """One timestep for one layer. carry=(c, h); inputs=(x_proj_t, mask_t)."""
+    c, h = carry
+    x_proj_t, mask_t = inputs
+    gates = x_proj_t + jnp.dot(
+        h.astype(compute_dtype), w_h, preferred_element_type=jnp.float32
+    )
+    i, g, f, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    # Freeze state and zero output past the true sequence end.
+    m = mask_t[:, None]
+    c_out = jnp.where(m, c_new, c)
+    h_out = jnp.where(m, h_new, h)
+    y = jnp.where(m, h_new, 0.0)
+    return (c_out, h_out), y
+
+
+def lstm_layer_scan(
+    params: Params,
+    x: jnp.ndarray,                 # (T, B, D) layer input
+    seq_lengths: jnp.ndarray,       # (B,)
+    state: LayerState,              # (c, h)
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, LayerState]:
+    """One LSTM layer over the full sequence via lax.scan."""
+    T, B, _ = x.shape
+    cd = compute_dtype
+    x_proj = (
+        jnp.dot(x.astype(cd), params["w_x"].astype(cd), preferred_element_type=jnp.float32)
+        + params["b"].astype(jnp.float32)
+    )                                # (T, B, 4H) fp32 accumulated
+    mask = jnp.arange(T)[:, None] < seq_lengths[None, :]  # (T, B)
+    w_h = params["w_h"].astype(cd)
+
+    def step(carry, inp):
+        return _cell_step(carry, inp, w_h, cd)
+
+    state, ys = jax.lax.scan(step, state, (x_proj, mask))
+    return ys, state
+
+
+def _dropout(key, x, keep_prob):
+    mask = jax.random.bernoulli(key, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, 0.0)
+
+
+def lstm_stack(
+    layers: Sequence[Params],
+    x: jnp.ndarray,                        # (T, B, D)
+    seq_lengths: jnp.ndarray,              # (B,)
+    states: Sequence[LayerState],
+    *,
+    compute_dtype=jnp.float32,
+    dropout_rng: Optional[jax.Array] = None,
+    input_keep_prob: float = 1.0,
+    output_keep_prob: float = 1.0,
+    use_pallas: bool = False,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, List[LayerState]]:
+    """Run the full stack. Returns (outputs (T, B, H), new per-layer states).
+
+    Dropout mirrors the reference's DropoutWrapper composition: each cell
+    drops its input (input_keep_prob) and its output (output_keep_prob),
+    training-only (pass dropout_rng=None for inference).
+    """
+    out = x
+    new_states: List[LayerState] = []
+    rng = dropout_rng
+    for idx, (params, state) in enumerate(zip(layers, states)):
+        if rng is not None and input_keep_prob < 1.0:
+            rng, sub = jax.random.split(rng)
+            out = _dropout(sub, out, input_keep_prob)
+
+        if use_pallas:
+            from rnn_speech_tpu.ops import lstm_pallas
+
+            layer_fn = lambda p, o, s: lstm_pallas.lstm_layer_pallas(
+                p, o, seq_lengths, s, compute_dtype=compute_dtype
+            )
+        else:
+            layer_fn = lambda p, o, s: lstm_layer_scan(
+                p, o, seq_lengths, s, compute_dtype=compute_dtype
+            )
+        if remat:
+            layer_fn = jax.checkpoint(layer_fn)
+        out, state = layer_fn(params, out, state)
+        new_states.append(state)
+
+        if rng is not None and output_keep_prob < 1.0:
+            rng, sub = jax.random.split(rng)
+            out = _dropout(sub, out, output_keep_prob)
+    return out, new_states

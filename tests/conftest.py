@@ -17,3 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The ambient TPU platform plugin ("axon") ignores the JAX_PLATFORMS env var,
+# so pin the platform through the config API as well.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+

@@ -1,0 +1,186 @@
+"""CTC loss tests: brute-force oracle, torch parity, gradient checks."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnn_speech_tpu.ops import ctc
+
+
+def brute_force_ctc(log_probs, label, blank):
+    """-log sum of path probabilities over all alignments (tiny cases)."""
+    T, V = log_probs.shape
+    total = -np.inf
+    for path in itertools.product(range(V), repeat=T):
+        # Collapse: merge repeats then drop blanks.
+        collapsed = []
+        prev = None
+        for p in path:
+            if p != prev:
+                if p != blank:
+                    collapsed.append(p)
+            prev = p
+        if collapsed == list(label):
+            lp = sum(log_probs[t, p] for t, p in enumerate(path))
+            total = np.logaddexp(total, lp)
+    return -total
+
+
+@pytest.fixture(scope="module")
+def small_case():
+    rng = np.random.default_rng(0)
+    T, B, V = 5, 3, 4
+    logits = rng.normal(0, 2.0, (T, B, V)).astype(np.float32)
+    labels = np.array([[1, 2, -1], [0, 0, 1], [2, -1, -1]], dtype=np.int32)
+    label_lengths = np.array([2, 3, 1], dtype=np.int32)
+    logit_lengths = np.array([5, 5, 4], dtype=np.int32)
+    return logits, logit_lengths, labels, label_lengths, V
+
+
+def test_matches_brute_force(small_case):
+    logits, logit_lengths, labels, label_lengths, V = small_case
+    blank = V - 1
+    loss = np.asarray(
+        ctc.ctc_loss(jnp.asarray(logits), jnp.asarray(logit_lengths),
+                     jnp.asarray(labels), jnp.asarray(label_lengths))
+    )
+    for b in range(3):
+        lp = jax.nn.log_softmax(jnp.asarray(logits[: logit_lengths[b], b]), axis=-1)
+        expected = brute_force_ctc(
+            np.asarray(lp), labels[b, : label_lengths[b]], blank
+        )
+        np.testing.assert_allclose(loss[b], expected, rtol=1e-5)
+
+
+def test_matches_torch(small_case):
+    torch = pytest.importorskip("torch")
+    logits, logit_lengths, labels, label_lengths, V = small_case
+    blank = V - 1
+
+    loss = np.asarray(
+        ctc.ctc_loss(jnp.asarray(logits), jnp.asarray(logit_lengths),
+                     jnp.asarray(labels), jnp.asarray(label_lengths))
+    )
+
+    t_logits = torch.tensor(logits, requires_grad=True)
+    t_lp = torch.nn.functional.log_softmax(t_logits, dim=-1)
+    t_labels = torch.tensor(np.where(labels < 0, 0, labels))
+    t_loss = torch.nn.functional.ctc_loss(
+        t_lp, t_labels,
+        torch.tensor(logit_lengths), torch.tensor(label_lengths),
+        blank=blank, reduction="none",
+    )
+    np.testing.assert_allclose(loss, t_loss.detach().numpy(), rtol=1e-4)
+
+    # Gradient parity (sum of per-example losses).
+    t_loss.sum().backward()
+    grad = jax.grad(
+        lambda lg: jnp.sum(
+            ctc.ctc_loss(lg, jnp.asarray(logit_lengths), jnp.asarray(labels),
+                         jnp.asarray(label_lengths))
+        )
+    )(jnp.asarray(logits))
+    np.testing.assert_allclose(
+        np.asarray(grad), t_logits.grad.numpy(), atol=1e-4
+    )
+
+
+def test_torch_parity_large_random():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(7)
+    T, B, V, L = 60, 4, 30, 20
+    logits = rng.normal(0, 1.5, (T, B, V)).astype(np.float32)
+    label_lengths = np.array([20, 13, 1, 7], dtype=np.int32)
+    logit_lengths = np.array([60, 45, 60, 30], dtype=np.int32)
+    labels = np.full((B, L), -1, dtype=np.int32)
+    for b in range(B):
+        # Blank is V-1: labels drawn from real classes only.
+        labels[b, : label_lengths[b]] = rng.integers(0, V - 1, label_lengths[b])
+
+    loss = np.asarray(
+        ctc.ctc_loss(jnp.asarray(logits), jnp.asarray(logit_lengths),
+                     jnp.asarray(labels), jnp.asarray(label_lengths))
+    )
+    t_logits = torch.tensor(logits, requires_grad=True)
+    t_lp = torch.nn.functional.log_softmax(t_logits, dim=-1)
+    t_loss = torch.nn.functional.ctc_loss(
+        t_lp, torch.tensor(np.where(labels < 0, 0, labels)),
+        torch.tensor(logit_lengths), torch.tensor(label_lengths),
+        blank=V - 1, reduction="none",
+    )
+    np.testing.assert_allclose(loss, t_loss.detach().numpy(), rtol=1e-4)
+
+    t_loss.sum().backward()
+    grad = jax.grad(
+        lambda lg: jnp.sum(
+            ctc.ctc_loss(lg, jnp.asarray(logit_lengths), jnp.asarray(labels),
+                         jnp.asarray(label_lengths))
+        )
+    )(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(grad), t_logits.grad.numpy(), atol=1e-4)
+
+
+def test_finite_difference_gradient(small_case):
+    logits, logit_lengths, labels, label_lengths, V = small_case
+
+    def f(lg):
+        return jnp.sum(
+            ctc.ctc_loss(lg, jnp.asarray(logit_lengths), jnp.asarray(labels),
+                         jnp.asarray(label_lengths))
+        )
+
+    grad = np.asarray(jax.grad(f)(jnp.asarray(logits)))
+    eps = 1e-3
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        t = rng.integers(0, logits.shape[0])
+        b = rng.integers(0, logits.shape[1])
+        v = rng.integers(0, V)
+        bump = np.zeros_like(logits)
+        bump[t, b, v] = eps
+        fd = (float(f(jnp.asarray(logits + bump)))
+              - float(f(jnp.asarray(logits - bump)))) / (2 * eps)
+        np.testing.assert_allclose(grad[t, b, v], fd, atol=2e-3)
+
+
+def test_ignore_longer_outputs_than_inputs():
+    rng = np.random.default_rng(2)
+    T, B, V = 4, 2, 5
+    logits = jnp.asarray(rng.normal(0, 1, (T, B, V)).astype(np.float32))
+    labels = jnp.asarray([[0, 1, 2, 3, 0, 1], [0, 1, -1, -1, -1, -1]], dtype=jnp.int32)
+    label_lengths = jnp.asarray([6, 2], dtype=jnp.int32)   # 6 > T=4 -> ignored
+    logit_lengths = jnp.asarray([4, 4], dtype=jnp.int32)
+
+    loss = ctc.ctc_loss(logits, logit_lengths, labels, label_lengths)
+    assert float(loss[0]) == 0.0
+    assert float(loss[1]) > 0.0
+
+    grad = jax.grad(lambda lg: jnp.sum(
+        ctc.ctc_loss(lg, logit_lengths, labels, label_lengths)
+    ))(logits)
+    assert np.all(np.asarray(grad)[:, 0, :] == 0.0)
+    assert np.abs(np.asarray(grad)[:, 1, :]).max() > 0.0
+
+
+def test_loss_is_jittable(small_case):
+    logits, logit_lengths, labels, label_lengths, V = small_case
+    f = jax.jit(ctc.ctc_loss)
+    loss = f(jnp.asarray(logits), jnp.asarray(logit_lengths),
+             jnp.asarray(labels), jnp.asarray(label_lengths))
+    loss2 = ctc.ctc_loss(jnp.asarray(logits), jnp.asarray(logit_lengths),
+                         jnp.asarray(labels), jnp.asarray(label_lengths))
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(loss2), rtol=1e-6)
+
+
+def test_mean_loss_normalizes_by_input_length(small_case):
+    logits, logit_lengths, labels, label_lengths, V = small_case
+    per = np.asarray(ctc.ctc_loss(
+        jnp.asarray(logits), jnp.asarray(logit_lengths),
+        jnp.asarray(labels), jnp.asarray(label_lengths)))
+    mean = float(ctc.ctc_loss_mean(
+        jnp.asarray(logits), jnp.asarray(logit_lengths),
+        jnp.asarray(labels), jnp.asarray(label_lengths)))
+    np.testing.assert_allclose(mean, (per / logit_lengths).mean(), rtol=1e-6)

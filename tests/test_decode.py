@@ -1,0 +1,176 @@
+"""Decoder tests: greedy collapse, beam search vs host oracle, edit distance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnn_speech_tpu.ops import decode, editdistance
+
+
+# ------------------------------------------------------------------- greedy
+
+def test_greedy_collapse_and_blank_strip():
+    # V=4, blank=3. Path: [0, 0, 3, 0, 1, 1, 3, 3, 2] -> 0, 0, 1, 2
+    V = 4
+    path = [0, 0, 3, 0, 1, 1, 3, 3, 2]
+    T = len(path)
+    logits = np.full((T, 1, V), -10.0, np.float32)
+    for t, p in enumerate(path):
+        logits[t, 0, p] = 10.0
+    labels, lengths = decode.greedy_decode(
+        jnp.asarray(logits), jnp.asarray([T], dtype=jnp.int32)
+    )
+    assert int(lengths[0]) == 4
+    np.testing.assert_array_equal(np.asarray(labels)[0, :4], [0, 0, 1, 2])
+    assert np.all(np.asarray(labels)[0, 4:] == -1)
+
+
+def test_greedy_respects_lengths():
+    V = 4
+    path = [0, 3, 1, 2, 2]
+    logits = np.full((5, 2, V), -10.0, np.float32)
+    for t, p in enumerate(path):
+        logits[t, 0, p] = 10.0
+        logits[t, 1, p] = 10.0
+    labels, lengths = decode.greedy_decode(
+        jnp.asarray(logits), jnp.asarray([5, 2], dtype=jnp.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(labels)[0, :3], [0, 1, 2])
+    assert int(lengths[1]) == 1                 # only [0] within length 2
+    np.testing.assert_array_equal(np.asarray(labels)[1, :1], [0])
+
+
+def test_greedy_jit_batch():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 1, (20, 3, 6)).astype(np.float32)
+    f = jax.jit(decode.greedy_decode)
+    labels, lengths = f(jnp.asarray(logits), jnp.asarray([20, 11, 0], dtype=jnp.int32))
+    assert labels.shape == (3, 20)
+    assert int(lengths[2]) == 0
+    assert np.all(np.asarray(labels)[2] == -1)
+
+
+# -------------------------------------------------------------- beam search
+
+def host_prefix_beam_search(log_probs, beam_width, blank):
+    """Dict-based reference prefix beam search (host oracle)."""
+    T, V = log_probs.shape
+    beams = {(): (0.0, -np.inf)}  # prefix -> (log p_b, log p_nb)
+    for t in range(T):
+        new = {}
+
+        def add(prefix, pb, pnb):
+            opb, opnb = new.get(prefix, (-np.inf, -np.inf))
+            new[prefix] = (np.logaddexp(opb, pb), np.logaddexp(opnb, pnb))
+
+        for prefix, (pb, pnb) in beams.items():
+            total = np.logaddexp(pb, pnb)
+            # blank
+            add(prefix, total + log_probs[t, blank], -np.inf)
+            # repeat last (extends p_nb of same prefix)
+            if prefix:
+                add(prefix, -np.inf, pnb + log_probs[t, prefix[-1]])
+            for c in range(V):
+                if c == blank:
+                    continue
+                p_base = pb if (prefix and c == prefix[-1]) else total
+                add(prefix + (c,), -np.inf, p_base + log_probs[t, c])
+        beams = dict(
+            sorted(new.items(), key=lambda kv: -np.logaddexp(*kv[1]))[:beam_width]
+        )
+    return [
+        (list(k), np.logaddexp(*v))
+        for k, v in sorted(beams.items(), key=lambda kv: -np.logaddexp(*kv[1]))
+    ]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_beam_matches_host_oracle(seed):
+    rng = np.random.default_rng(seed)
+    T, V, K = 12, 5, 8
+    logits = rng.normal(0, 2.0, (T, 1, V)).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits[:, 0]), axis=-1))
+
+    expected = host_prefix_beam_search(lp, K, blank=V - 1)
+
+    labels, lengths, scores = decode.beam_search_decode(
+        jnp.asarray(logits), jnp.asarray([T], dtype=jnp.int32), beam_width=K
+    )
+    got_best = list(np.asarray(labels)[0, 0, : int(lengths[0, 0])])
+    assert got_best == expected[0][0]
+    np.testing.assert_allclose(float(scores[0, 0]), expected[0][1], rtol=1e-4)
+    # Top few scores should agree too (identical beams tracked).
+    for i in range(3):
+        np.testing.assert_allclose(float(scores[0, i]), expected[i][1], rtol=1e-4)
+
+
+def test_beam_matches_greedy_on_peaked_logits():
+    """With near-one-hot logits the beam's best path is the greedy path."""
+    rng = np.random.default_rng(3)
+    T, B, V = 30, 2, 7
+    logits = rng.normal(0, 0.1, (T, B, V)).astype(np.float32)
+    path = rng.integers(0, V, (T, B))
+    for t in range(T):
+        for b in range(B):
+            logits[t, b, path[t, b]] = 12.0
+    lengths = jnp.asarray([30, 17], dtype=jnp.int32)
+    g_labels, g_lens = decode.greedy_decode(jnp.asarray(logits), lengths)
+    b_labels, b_lens, _ = decode.beam_search_decode(
+        jnp.asarray(logits), lengths, beam_width=4
+    )
+    for b in range(B):
+        assert int(g_lens[b]) == int(b_lens[b, 0])
+        np.testing.assert_array_equal(
+            np.asarray(g_labels)[b, : int(g_lens[b])],
+            np.asarray(b_labels)[b, 0, : int(b_lens[b, 0])],
+        )
+
+
+def test_beam_zero_length_entry():
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.normal(0, 1, (10, 2, 5)).astype(np.float32))
+    labels, lengths, scores = decode.beam_search_decode(
+        logits, jnp.asarray([10, 0], dtype=jnp.int32), beam_width=4
+    )
+    assert int(lengths[1, 0]) == 0
+    assert np.all(np.asarray(labels)[1, 0] == -1)
+
+
+# ------------------------------------------------------------ edit distance
+
+def host_levenshtein(a, b):
+    d = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+    d[:, 0] = np.arange(len(a) + 1)
+    d[0, :] = np.arange(len(b) + 1)
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            d[i, j] = min(
+                d[i - 1, j] + 1,
+                d[i, j - 1] + 1,
+                d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return d[len(a), len(b)]
+
+
+def test_edit_distance_random():
+    rng = np.random.default_rng(5)
+    B, N, M = 6, 12, 15
+    a = rng.integers(0, 4, (B, N)).astype(np.int32)
+    b = rng.integers(0, 4, (B, M)).astype(np.int32)
+    a_len = rng.integers(0, N + 1, B).astype(np.int32)
+    b_len = rng.integers(0, M + 1, B).astype(np.int32)
+    got = np.asarray(editdistance.edit_distance(
+        jnp.asarray(a), jnp.asarray(a_len), jnp.asarray(b), jnp.asarray(b_len)
+    ))
+    for i in range(B):
+        expected = host_levenshtein(list(a[i, : a_len[i]]), list(b[i, : b_len[i]]))
+        assert got[i] == expected, (i, got[i], expected)
+
+
+def test_error_rate_normalization():
+    a = jnp.asarray([[1, 2, 3], [1, 1, 1]], dtype=jnp.int32)
+    b = jnp.asarray([[1, 2, 0], [2, 2, 2]], dtype=jnp.int32)
+    lens = jnp.asarray([3, 3], dtype=jnp.int32)
+    rate = float(editdistance.error_rate(a, lens, b, lens))
+    np.testing.assert_allclose(rate, (1 / 3 + 3 / 3) / 2, rtol=1e-6)

@@ -1,0 +1,151 @@
+"""LSTM stack tests: numpy-reference parity, masking, state carry, Pallas."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnn_speech_tpu.ops import lstm
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def numpy_lstm_layer(params, x, seq_lengths, c0, h0):
+    """Step-by-step reference with BasicLSTMCell dynamics."""
+    w_x = np.asarray(params["w_x"], np.float64)
+    w_h = np.asarray(params["w_h"], np.float64)
+    b = np.asarray(params["b"], np.float64)
+    T, B, _ = x.shape
+    H = w_h.shape[0]
+    c, h = np.asarray(c0, np.float64), np.asarray(h0, np.float64)
+    ys = np.zeros((T, B, H))
+    for t in range(T):
+        gates = x[t] @ w_x + h @ w_h + b
+        i, g, f, o = np.split(gates, 4, axis=-1)
+        c_new = _sigmoid(f + 1.0) * c + _sigmoid(i) * np.tanh(g)
+        h_new = _sigmoid(o) * np.tanh(c_new)
+        m = (t < seq_lengths)[:, None]
+        c = np.where(m, c_new, c)
+        h = np.where(m, h_new, h)
+        ys[t] = np.where(m, h_new, 0.0)
+    return ys, (c, h)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    T, B, D, H = 12, 3, 5, 8
+    layers = lstm.init_lstm_stack(key, 2, D, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, D))
+    seq_lengths = jnp.array([12, 7, 0])
+    return layers, x, seq_lengths, (T, B, D, H)
+
+
+def test_scan_matches_numpy(setup):
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    state = lstm.zero_state(1, B, H)[0]
+    ys, (c, h) = lstm.lstm_layer_scan(layers[0], x, seq_lengths, state)
+    ys_np, (c_np, h_np) = numpy_lstm_layer(
+        layers[0], np.asarray(x), np.asarray(seq_lengths), *state
+    )
+    np.testing.assert_allclose(ys, ys_np, atol=1e-5)
+    np.testing.assert_allclose(c, c_np, atol=1e-5)
+    np.testing.assert_allclose(h, h_np, atol=1e-5)
+
+
+def test_masking_freezes_state(setup):
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    state = lstm.zero_state(1, B, H)[0]
+    ys, (c, h) = lstm.lstm_layer_scan(layers[0], x, seq_lengths, state)
+    # Example 1 has length 7: outputs at t>=7 are zero.
+    assert np.all(np.asarray(ys)[7:, 1, :] == 0.0)
+    # Example 2 has length 0: state stays exactly zero.
+    assert np.all(np.asarray(c)[2] == 0.0) and np.all(np.asarray(h)[2] == 0.0)
+    # Frozen state equals state at t=7 of an unmasked shorter run.
+    ys2, (c2, h2) = lstm.lstm_layer_scan(
+        layers[0], x[:7], jnp.array([7, 7, 7]), lstm.zero_state(1, B, H)[0]
+    )
+    np.testing.assert_allclose(c[1], c2[1], atol=1e-6)
+
+
+def test_stack_carried_state_continuity(setup):
+    """Two chunked runs with carried state == one run over the full seq."""
+    layers, x, _, (T, B, D, H) = setup
+    full_len = jnp.array([T] * B)
+    states = lstm.zero_state(2, B, H)
+    y_full, _ = lstm.lstm_stack(layers, x, full_len, states)
+
+    half = T // 2
+    y1, mid = lstm.lstm_stack(layers, x[:half], jnp.array([half] * B), states)
+    y2, _ = lstm.lstm_stack(layers, x[half:], jnp.array([T - half] * B), mid)
+    np.testing.assert_allclose(
+        np.concatenate([y1, y2]), np.asarray(y_full), atol=1e-5
+    )
+
+
+def test_stack_shapes_and_state_count(setup):
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    states = lstm.zero_state(2, B, H)
+    ys, new_states = lstm.lstm_stack(layers, x, seq_lengths, states)
+    assert ys.shape == (T, B, H)
+    assert len(new_states) == 2
+    assert new_states[0][0].shape == (B, H)
+
+
+def test_dropout_applied_only_with_rng(setup):
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    states = lstm.zero_state(2, B, H)
+    y_ref, _ = lstm.lstm_stack(layers, x, seq_lengths, states)
+    y_nodrop, _ = lstm.lstm_stack(
+        layers, x, seq_lengths, states, dropout_rng=None,
+        input_keep_prob=0.5, output_keep_prob=0.5,
+    )
+    np.testing.assert_allclose(y_ref, y_nodrop, atol=1e-7)
+    y_drop, _ = lstm.lstm_stack(
+        layers, x, seq_lengths, states, dropout_rng=jax.random.PRNGKey(3),
+        input_keep_prob=0.5, output_keep_prob=0.5,
+    )
+    assert not np.allclose(np.asarray(y_ref), np.asarray(y_drop))
+
+
+def test_bf16_compute_close_to_f32(setup):
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    states = lstm.zero_state(2, B, H)
+    y32, _ = lstm.lstm_stack(layers, x, seq_lengths, states)
+    y16, _ = lstm.lstm_stack(
+        layers, x, seq_lengths, states, compute_dtype=jnp.bfloat16
+    )
+    np.testing.assert_allclose(np.asarray(y32), np.asarray(y16), atol=0.05)
+
+
+def test_grad_flows_through_scan(setup):
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    states = lstm.zero_state(2, B, H)
+
+    def loss(ls):
+        ys, _ = lstm.lstm_stack(ls, x, seq_lengths, states)
+        return jnp.sum(ys ** 2)
+
+    grads = jax.grad(loss)(layers)
+    assert np.isfinite(np.asarray(grads[0]["w_h"])).all()
+    assert np.abs(np.asarray(grads[0]["w_x"])).max() > 0
+
+
+def test_pallas_matches_scan(setup):
+    """Pallas recurrence (interpret mode on CPU) == scan recurrence."""
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    from rnn_speech_tpu.ops import lstm_pallas
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    state = lstm.zero_state(1, B, H)[0]
+    ys_ref, (c_ref, h_ref) = lstm.lstm_layer_scan(layers[0], x, seq_lengths, state)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        ys, (c, h) = lstm_pallas.lstm_layer_pallas(layers[0], x, seq_lengths, state)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=1e-5)

@@ -1,0 +1,503 @@
+"""CLI & mode dispatch — the user-facing surface of the framework.
+
+Same entry points as the reference's stt.py (/root/reference/stt.py:360-404):
+
+    python stt.py --train_acoustic | --train_language | --file F |
+                  --record | --evaluate | --generate_text
+                  [--config INI] [--tb_name N] [--max_epoch E]
+                  [--learn_rate LR] [--timeline] [--XLA]
+
+``--XLA`` is accepted for compatibility and is a no-op: every compute path
+here is XLA-compiled by construction.  ``--timeline`` captures a
+``jax.profiler`` trace (viewable in Perfetto/XProf) instead of a TF
+chrome-trace.  Extra TPU-era flags: ``--beam_width``, ``--mesh_data`` /
+``--mesh_model`` (device mesh for training), ``--max_steps``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _enable_compilation_cache() -> None:
+    """Opt-in persistent XLA compilation cache (RST_COMPILE_CACHE=<dir>).
+
+    Off by default: on tunneled TPU backends the per-executable cache
+    round-trips cost far more than the compiles they skip (measured 196 s
+    vs 17 s for model construction on the axon platform).
+    """
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get("RST_COMPILE_CACHE")
+    if not cache_dir:
+        return
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as exc:  # noqa: BLE001 — cache is best-effort
+        logger.debug("Compilation cache unavailable: %s", exc)
+
+
+def main(argv=None) -> int:
+    prog = parse_args(argv)
+    from rnn_speech_tpu.config import HyperParamStore, load_config, setup_logging
+
+    config = load_config(prog["config_file"])
+    setup_logging(config)
+    _enable_compilation_cache()
+    store = HyperParamStore(config)
+    config = store.config
+
+    from rnn_speech_tpu.models.recognizer import SpeechRecognizer
+
+    reco = SpeechRecognizer(config.language)
+    char_map = reco.get_char_map()
+
+    if prog["train_acoustic"]:
+        ordered = config.dataset_size_ordering in ("True", "First_run_only")
+        train_set, test_set = reco.load_acoustic_dataset(
+            config.training_dataset_dirs,
+            config.test_dataset_dirs,
+            config.training_filelist_cache,
+            ordered,
+            config.train_frac,
+        )
+        return train_acoustic(config, prog, train_set, test_set, char_map)
+    if prog["train_language"]:
+        return train_language(config, prog, char_map)
+    if prog["file"] is not None:
+        return process_file(config, prog, char_map, prog["file"])
+    if prog["record"]:
+        return record_and_write(config, prog, char_map)
+    if prog["evaluate"]:
+        return evaluate(config, prog, char_map)
+    if prog["generate_text"]:
+        return generate_text(config, prog, char_map)
+    return 2
+
+
+# ------------------------------------------------------------------- helpers
+
+def _build_forward(config, char_map, batch_size: int):
+    """Build model config + device frontend + restored params for inference."""
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend
+    from rnn_speech_tpu.train import checkpoint as ckpt
+    from rnn_speech_tpu.train.pipeline import PipelineConfig
+
+    pcfg = PipelineConfig(
+        batch_size=batch_size,
+        max_input_seq_length=config.max_input_seq_length,
+        max_target_seq_length=config.max_target_seq_length,
+        signal_processing=config.signal_processing,
+    )
+    fe = DeviceFrontend(
+        config.signal_processing, sr=pcfg.sample_rate, max_samples=pcfg.max_samples
+    )
+    compute_dtype = (
+        jnp.bfloat16 if config.tpu.compute_dtype == "bfloat16" else jnp.float32
+    )
+    model_cfg = acoustic.AcousticConfig(
+        num_layers=config.num_layers,
+        hidden_size=config.hidden_size,
+        input_dim=fe.feature_size,
+        num_labels=len(char_map),
+        normalization=config.batch_normalization,
+        compute_dtype=compute_dtype,
+        use_pallas=config.tpu.use_pallas_lstm,
+    )
+
+    import jax
+
+    from rnn_speech_tpu.models import acoustic as am
+
+    params = am.init_params(jax.random.PRNGKey(0), model_cfg)
+    restored = ckpt.restore(config.checkpoint_dir + "/acoustic/", params)
+    if restored is not None:
+        params = restored[0]
+    return model_cfg, fe, pcfg, params
+
+
+def _transcribe_batch(model_cfg, params, feats_bm, frame_lengths, char_map,
+                      beam_width: int):
+    """feats (B, T, D) batch-major -> list of decoded strings."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.ops import decode
+
+    B = feats_bm.shape[0]
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def infer(model_cfg, beam_width, params, feats_bm, frame_lengths):
+        states = acoustic.zero_state(model_cfg, feats_bm.shape[0])
+        logits, _ = acoustic.forward(
+            params, model_cfg, jnp.transpose(feats_bm, (1, 0, 2)),
+            frame_lengths, states,
+        )
+        if beam_width > 1:
+            labels, lengths, _ = decode.beam_search_decode(
+                logits, frame_lengths, beam_width=beam_width
+            )
+            return labels[:, 0], lengths[:, 0]
+        return decode.greedy_decode(logits, frame_lengths)
+
+    labels, lengths = infer(
+        model_cfg, beam_width, params, jnp.asarray(feats_bm), frame_lengths
+    )
+    out = []
+    for b in range(B):
+        ids = list(np.asarray(labels)[b, : int(lengths[b])])
+        out.append(char_map.decode(ids))
+    return out
+
+
+# --------------------------------------------------------------------- modes
+
+def train_acoustic(config, prog, train_set, test_set, char_map) -> int:
+    from rnn_speech_tpu.parallel import mesh as mesh_mod
+    from rnn_speech_tpu.train import loop
+
+    mesh = None
+    if prog["mesh_data"] > 1 or prog["mesh_model"] > 1:
+        mesh = mesh_mod.make_mesh(prog["mesh_data"], prog["mesh_model"])
+    loop.train_acoustic(
+        config, train_set, test_set, char_map,
+        max_epoch=prog["max_epoch"],
+        learn_rate_override=prog["learn_rate"],
+        tb_name=prog["tb_name"],
+        timeline=prog["timeline"],
+        max_steps=prog["max_steps"],
+        mesh=mesh,
+    )
+    return 0
+
+
+def train_language(config, prog, char_map) -> int:
+    """Char-LM training on transcript text (next-char cross-entropy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.models import language
+    from rnn_speech_tpu.train import checkpoint as ckpt
+    from rnn_speech_tpu.train import optim
+
+    # Language training corpus: transcript labels of the acoustic train set
+    # if configured, else a built-in smoke corpus (the reference hardcoded 4
+    # sentences and never ran a loop, stt.py:134-138 — we train for real).
+    texts = []
+    if config.training_dataset_dirs:
+        try:
+            from rnn_speech_tpu.models.recognizer import SpeechRecognizer
+
+            train_set, _ = SpeechRecognizer.load_acoustic_dataset(
+                config.training_dataset_dirs,
+                training_filelist_cache=config.training_filelist_cache,
+            )
+            texts = [label for _, label, _ in train_set]
+        except Exception as exc:  # noqa: BLE001 — fall back to smoke corpus
+            logger.warning("No acoustic dataset for LM (%s); using built-in", exc)
+    if not texts:
+        texts = ["the brown lazy fox", "the red quick fox",
+                 "the white big horse", "the yellow small cat"]
+
+    cfg = language.LanguageConfig(
+        num_layers=config.num_layers, hidden_size=config.hidden_size,
+        num_labels=len(char_map),
+    )
+    params = language.init_params(jax.random.PRNGKey(0), cfg)
+    ckpt_dir = config.checkpoint_dir + "/language/"
+    restored = ckpt.restore(ckpt_dir, params)
+    step0, lr = 0, config.learning_rate
+    if restored is not None:
+        params, step0, lr = restored
+    if prog["learn_rate"] is not None:
+        lr = prog["learn_rate"]
+
+    # Pack texts into fixed-length id batches.
+    T, B = min(config.max_target_seq_length, 128), config.batch_size
+    ids_list = [char_map.encode(t, add_eos=True)[:T] for t in texts]
+    opt_state = optim.init_adam(params)
+
+    @jax.jit
+    def lm_step(params, opt_state, chars, lengths, rng):
+        def loss_fn(p):
+            return language.next_char_loss(
+                p, cfg, chars, lengths, language.zero_state(cfg, B),
+                dropout_rng=rng,
+                input_keep_prob=config.dropout_input_keep_prob,
+                output_keep_prob=config.dropout_output_keep_prob,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads, _ = optim.clip_by_global_norm(grads, config.grad_clip)
+        params, opt_state = optim.adam_update(params, grads, opt_state, lr)
+        return params, opt_state, loss
+
+    rng = jax.random.PRNGKey(0)
+    max_steps = prog["max_steps"] or config.steps_per_checkpoint
+    step = step0
+    for i in range(max_steps):
+        batch_texts = [ids_list[(i * B + j) % len(ids_list)] for j in range(B)]
+        chars = np.full((T, B), -1, np.int32)
+        lengths = np.zeros((B,), np.int32)
+        for j, ids in enumerate(batch_texts):
+            chars[: len(ids), j] = ids
+            lengths[j] = len(ids)
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = lm_step(
+            params, opt_state, jnp.asarray(chars), jnp.asarray(lengths), sub
+        )
+        step += 1
+        if i % 50 == 0:
+            logger.info("LM step %d: loss %.4f", step, float(loss))
+    ckpt.save(ckpt_dir, params, step, lr)
+    print(f"Language model trained to step {step} (loss {float(loss):.4f})")
+    return 0
+
+
+def process_file(config, prog, char_map, file_path) -> int:
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu import audio_io
+    from rnn_speech_tpu.ops.frontend_jax import featurize
+
+    model_cfg, fe, pcfg, params = _build_forward(config, char_map, 1)
+    sig, _sr = audio_io.load(file_path, sr=pcfg.sample_rate)
+    if len(sig) > pcfg.max_samples:
+        logger.warning("File too long")
+        return 1
+    padded = np.zeros((1, pcfg.max_samples), np.float32)
+    padded[0, : len(sig)] = sig
+    feats, nf = featurize(fe, jnp.asarray(padded),
+                          jnp.asarray([len(sig)], dtype=jnp.int32))
+    text = _transcribe_batch(
+        model_cfg, params, np.asarray(feats), nf, char_map, prog["beam_width"]
+    )[0]
+    print(text)
+    return 0
+
+
+def evaluate(config, prog, char_map) -> int:
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu import corpus
+    from rnn_speech_tpu.ops.frontend_jax import featurize
+    from rnn_speech_tpu.train import metrics as metrics_mod
+
+    if config.test_dataset_dirs is None:
+        logger.fatal("Setting test_dataset_dirs in config file is mandatory "
+                     "for evaluation mode")
+        return 1
+    test_set = corpus.DataProcessor(config.test_dataset_dirs).get_dataset()
+    logger.info("Using %d size of test set", len(test_set))
+    if not test_set:
+        logger.fatal("No files in test set during an evaluation mode")
+        return 1
+
+    model_cfg, fe, pcfg, params = _build_forward(
+        config, char_map, config.batch_size
+    )
+
+    from rnn_speech_tpu import audio_io
+
+    wer_list, cer_list = [], []
+    batch_audio, batch_lengths, batch_truth = [], [], []
+
+    def flush():
+        if not batch_audio:
+            return
+        B = config.batch_size
+        audio = np.zeros((B, pcfg.max_samples), np.float32)
+        lengths = np.zeros((B,), np.int32)
+        for i, (a, n) in enumerate(zip(batch_audio, batch_lengths)):
+            audio[i, :n] = a[:n]
+            lengths[i] = n
+        feats, nf = featurize(fe, jnp.asarray(audio), jnp.asarray(lengths))
+        texts = _transcribe_batch(
+            model_cfg, params, np.asarray(feats), nf, char_map,
+            prog["beam_width"],
+        )
+        for text, truth in zip(texts, batch_truth):
+            if not truth:
+                continue
+            nb_words = len(truth.split())
+            nb_chars = len(truth.replace(" ", ""))
+            wer_list.append(
+                metrics_mod.calculate_wer(text, truth) / float(nb_words)
+            )
+            cer_list.append(
+                metrics_mod.calculate_cer(text, truth) / float(nb_chars)
+            )
+        batch_audio.clear()
+        batch_lengths.clear()
+        batch_truth.clear()
+
+    for file, label, _ in test_set:
+        try:
+            sig, _sr = audio_io.load(file, sr=pcfg.sample_rate)
+        except (audio_io.AudioFormatError, OSError, ValueError) as exc:
+            logger.warning("Skipping unreadable %s: %s", file, exc)
+            continue
+        if len(sig) > pcfg.max_samples or len(label) > config.max_target_seq_length:
+            logger.warning("Warning - sample too long : %s (input : %d)",
+                           file, len(sig))
+            continue
+        batch_audio.append(sig)
+        batch_lengths.append(len(sig))
+        batch_truth.append(label)
+        if len(batch_audio) == config.batch_size:
+            flush()
+    flush()
+
+    if not wer_list:
+        logger.fatal("No evaluable files")
+        return 1
+    wer = sum(wer_list) * 100 / len(wer_list)
+    cer = sum(cer_list) * 100 / len(cer_list)
+    print("Resulting WER : {0:.3g} %".format(wer))
+    print("Resulting CER : {0:.3g} %".format(cer))
+    return 0
+
+
+def record_and_write(config, prog, char_map) -> int:
+    """Live microphone transcription with persistent streaming state."""
+    try:
+        import pyaudio
+    except ImportError:
+        logger.fatal("--record requires pyaudio, which is not installed")
+        return 1
+    import jax.numpy as jnp
+
+    import functools
+
+    import jax
+
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.ops import decode as dec
+
+    model_cfg, fe, pcfg, params = _build_forward(config, char_map, 1)
+    states = acoustic.zero_state(model_cfg, 1)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def chunk_step(params, audio, states, n):
+        feats, nf = fe(audio, n)
+        logits, states = acoustic.forward(
+            params, model_cfg, jnp.transpose(feats, (1, 0, 2)), nf, states
+        )
+        labels, lengths = dec.greedy_decode(logits, nf)
+        return labels, lengths, states
+
+    _CHUNK = config.max_input_seq_length
+    _SR = 22050
+    pa = pyaudio.PyAudio()
+    stream = pa.open(format=pyaudio.paInt16, channels=1, rate=_SR, input=True,
+                     frames_per_buffer=_CHUNK)
+    print("NOW RECORDING...")
+    while True:
+        data = stream.read(_CHUNK)
+        sig = np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+        padded = np.zeros((1, pcfg.max_samples), np.float32)
+        n = min(len(sig), pcfg.max_samples)
+        padded[0, :n] = sig[:n]
+        labels, lengths, states = chunk_step(
+            params, jnp.asarray(padded), states,
+            jnp.asarray([n], dtype=jnp.int32),
+        )
+        ids = list(np.asarray(labels)[0, : int(lengths[0])])
+        print(char_map.decode(ids), end="", flush=True)
+
+
+def generate_text(config, prog, char_map) -> int:
+    import jax
+
+    from rnn_speech_tpu.models import language
+    from rnn_speech_tpu.train import checkpoint as ckpt
+
+    cfg = language.LanguageConfig(
+        num_layers=config.num_layers, hidden_size=config.hidden_size,
+        num_labels=len(char_map),
+    )
+    params = language.init_params(jax.random.PRNGKey(0), cfg)
+    restored = ckpt.restore(config.checkpoint_dir + "/language/", params)
+    if restored is not None:
+        params = restored[0]
+
+    seed = char_map.encode("O", add_eos=False)
+    out_ids = language.generate(params, cfg, seed, 10)
+    print("O" + char_map.decode(out_ids))
+    return 0
+
+
+# ----------------------------------------------------------------- argparse
+
+def parse_args(argv=None) -> dict:
+    parser = argparse.ArgumentParser(prog="stt")
+    parser.add_argument("--config", type=str, default="config.ini",
+                        help="Path to configuration file with hyper-parameters.")
+    parser.add_argument("--tb_name", type=str, default=None,
+                        help="Metrics run name (multiple runs, same output dir)")
+    parser.add_argument("--max_epoch", type=int, default=None,
+                        help="Max epoch to train (no limitation if not provided)")
+    parser.add_argument("--learn_rate", type=float, default=None,
+                        help="Force learning rate to start from this value "
+                             "(overriding checkpoint value)")
+    parser.add_argument("--timeline", action="store_true", default=False,
+                        help="Capture a jax.profiler trace into the metrics dir")
+    parser.add_argument("--XLA", action="store_true", default=False,
+                        help="Accepted for compatibility; compute is always "
+                             "XLA-compiled here")
+    parser.add_argument("--beam_width", type=int, default=16,
+                        help="CTC beam width for decoding (1 = greedy)")
+    parser.add_argument("--mesh_data", type=int, default=1,
+                        help="Data-parallel mesh axis size for training")
+    parser.add_argument("--mesh_model", type=int, default=1,
+                        help="Model-parallel mesh axis size for training")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="Stop training after this many steps")
+
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--train_acoustic", action="store_true", default=False,
+                       help="Train the acoustic network")
+    group.add_argument("--train_language", action="store_true", default=False,
+                       help="Train the language network")
+    group.add_argument("--file", type=str, default=None,
+                       help="Path to an audio file to process")
+    group.add_argument("--record", action="store_true", default=False,
+                       help="Record and write result on the fly")
+    group.add_argument("--evaluate", action="store_true", default=False,
+                       help="Evaluate WER against the test_set")
+    group.add_argument("--generate_text", action="store_true", default=False,
+                       help="Generate text from the language model")
+
+    args = parser.parse_args(argv)
+    return {
+        "config_file": args.config, "tb_name": args.tb_name,
+        "max_epoch": args.max_epoch, "learn_rate": args.learn_rate,
+        "timeline": args.timeline, "XLA": args.XLA,
+        "beam_width": args.beam_width, "mesh_data": args.mesh_data,
+        "mesh_model": args.mesh_model, "max_steps": args.max_steps,
+        "train_acoustic": args.train_acoustic,
+        "train_language": args.train_language, "file": args.file,
+        "record": args.record, "evaluate": args.evaluate,
+        "generate_text": args.generate_text,
+    }
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -183,7 +183,12 @@ def scan_durations(items: Sequence[Triple], workers: Optional[int] = None) -> Li
     """
     if len(items) < 256:
         return [_probe_duration(it) for it in items]
-    with ProcessPoolExecutor(max_workers=workers) as pool:
+    import multiprocessing
+
+    # Spawn (not fork): callers may hold a multithreaded JAX runtime.
+    with ProcessPoolExecutor(
+        max_workers=workers, mp_context=multiprocessing.get_context("spawn")
+    ) as pool:
         return list(pool.map(_probe_duration, items, chunksize=64))
 
 

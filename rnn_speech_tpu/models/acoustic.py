@@ -1,0 +1,114 @@
+"""Acoustic model: input projection -> stacked LSTM -> output projection.
+
+Functional rebuild of the reference's AcousticModel graph
+(/root/reference/models/AcousticModel.py:189-317): per-timestep input
+projection, optional batch normalization over the batch axis, N stacked
+LSTM cells with dropout during training, an output projection to the char
+map, with explicit carried recurrent state (the reference held state in TF
+Variables to survive session.run boundaries; here state is a value the
+caller threads through, which is also what makes the streaming ``--record``
+mode and the stochastic state-reset policy trivially functional).
+
+The forward is a pure function of (params, state, inputs) — jit/pjit/vmap
+compose with it directly.  Time-major (T, B, D) layout throughout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rnn_speech_tpu.ops import lstm
+
+Params = Dict[str, Any]
+States = List[lstm.LayerState]
+
+
+@dataclass(frozen=True)
+class AcousticConfig:
+    num_layers: int
+    hidden_size: int
+    input_dim: int
+    num_labels: int
+    normalization: bool = False
+    compute_dtype: Any = jnp.float32
+    use_pallas: bool = False
+    remat: bool = False
+
+
+def init_params(key: jax.Array, cfg: AcousticConfig) -> Params:
+    k_in, k_lstm, k_out = jax.random.split(key, 3)
+    return {
+        "input": {
+            "w": lstm.xavier_uniform(k_in, (cfg.input_dim, cfg.hidden_size)),
+            "b": jnp.zeros((cfg.hidden_size,), jnp.float32),
+        },
+        "lstm": lstm.init_lstm_stack(
+            k_lstm, cfg.num_layers, cfg.hidden_size, cfg.hidden_size
+        ),
+        "output": {
+            "w": lstm.xavier_uniform(k_out, (cfg.hidden_size, cfg.num_labels)),
+            "b": jnp.zeros((cfg.num_labels,), jnp.float32),
+        },
+    }
+
+
+def zero_state(cfg: AcousticConfig, batch_size: int) -> States:
+    return lstm.zero_state(cfg.num_layers, batch_size, cfg.hidden_size)
+
+
+def _batch_norm(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """Normalize over the batch axis per (time, feature) — the reference's
+    tf.nn.moments(axes=[1]) + batch_normalization with no scale/offset."""
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.var(x, axis=1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def forward(
+    params: Params,
+    cfg: AcousticConfig,
+    inputs: jnp.ndarray,          # (T, B, input_dim)
+    seq_lengths: jnp.ndarray,     # (B,)
+    states: States,
+    *,
+    dropout_rng: Optional[jax.Array] = None,
+    input_keep_prob: float = 1.0,
+    output_keep_prob: float = 1.0,
+) -> Tuple[jnp.ndarray, States]:
+    """Returns (logits (T, B, num_labels), new recurrent states).
+
+    Pass ``dropout_rng=None`` for inference (keep probabilities ignored).
+    """
+    cd = cfg.compute_dtype
+    x = (
+        jnp.dot(inputs.astype(cd), params["input"]["w"].astype(cd),
+                preferred_element_type=jnp.float32)
+        + params["input"]["b"]
+    )
+    if cfg.normalization:
+        x = _batch_norm(x)
+
+    hidden, new_states = lstm.lstm_stack(
+        params["lstm"], x, seq_lengths, states,
+        compute_dtype=cd,
+        dropout_rng=dropout_rng,
+        input_keep_prob=input_keep_prob,
+        output_keep_prob=output_keep_prob,
+        use_pallas=cfg.use_pallas,
+        remat=cfg.remat,
+    )
+
+    logits = (
+        jnp.dot(hidden.astype(cd), params["output"]["w"].astype(cd),
+                preferred_element_type=jnp.float32)
+        + params["output"]["b"]
+    )
+    return logits, new_states
+
+
+def param_count(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,117 @@
+"""Checkpointing: flat-npz parameter bundles + a latest-pointer manifest.
+
+Mirrors the reference's filtered-Saver contract
+(/root/reference/models/AcousticModel.py:483-527): what persists is the
+model parameters plus ``global_step`` and ``learning_rate`` — deliberately
+NOT optimizer slots, metric accumulators, or recurrent state, so restarts
+resume the schedule but re-warm Adam, exactly like the reference.  A
+``checkpoint`` text pointer names the latest bundle, and restore tolerates
+an empty directory ("fresh parameters").
+
+Format: a single ``.npz`` whose keys are slash-joined pytree paths — easy
+to inspect (``np.load``), diff, and load partially.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+POINTER_FILE = "checkpoint"
+PREFIX = "acousticmodel"
+
+
+def _flatten(tree: Any) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_like(template: Any, flat: Dict[str, np.ndarray]) -> Any:
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths_and_leaves:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        if key not in flat:
+            raise KeyError(f"Checkpoint missing parameter {key!r}")
+        value = flat[key]
+        if tuple(value.shape) != tuple(leaf.shape):
+            raise ValueError(
+                f"Checkpoint shape mismatch for {key!r}: "
+                f"{value.shape} vs model {tuple(leaf.shape)}"
+            )
+        leaves.append(value.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save(
+    checkpoint_dir: str,
+    params: Any,
+    step: int,
+    learning_rate: float,
+) -> str:
+    """Write ``acousticmodel-<step>.npz`` and update the pointer file."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    flat = _flatten(params)
+    flat["__step__"] = np.asarray(int(step), np.int64)
+    flat["__learning_rate__"] = np.asarray(float(learning_rate), np.float64)
+    name = f"{PREFIX}-{int(step)}.npz"
+    path = os.path.join(checkpoint_dir, name)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **flat)
+    os.replace(tmp, path)
+    with open(os.path.join(checkpoint_dir, POINTER_FILE), "w") as fh:
+        json.dump({"latest": name}, fh)
+    logger.info("Checkpoint saved: %s", path)
+    return path
+
+
+def latest_path(checkpoint_dir: str) -> Optional[str]:
+    pointer = os.path.join(checkpoint_dir, POINTER_FILE)
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            name = json.load(fh).get("latest")
+        path = os.path.join(checkpoint_dir, name)
+        if os.path.exists(path):
+            return path
+    # Fallback: scan for the highest step.
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    best, best_step = None, -1
+    for entry in os.listdir(checkpoint_dir):
+        m = re.fullmatch(rf"{PREFIX}-(\d+)\.npz", entry)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = entry, int(m.group(1))
+    return os.path.join(checkpoint_dir, best) if best else None
+
+
+def restore(
+    checkpoint_dir: str, params_template: Any
+) -> Optional[Tuple[Any, int, float]]:
+    """Load the latest checkpoint -> (params, step, lr), or None if absent."""
+    path = latest_path(checkpoint_dir)
+    if path is None:
+        logger.info("Created model with fresh parameters.")
+        return None
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    step = int(flat.pop("__step__"))
+    lr = float(flat.pop("__learning_rate__"))
+    params = _unflatten_like(params_template, flat)
+    logger.info("Restored model parameters from %s (global_step %d)", path, step)
+    return params, step, lr

@@ -1,0 +1,260 @@
+"""Outer training loop: checkpoint cadence, plateau LR decay, epochs.
+
+Mirrors the reference's training policy (/root/reference/stt.py:171-236):
+run ``steps_per_checkpoint`` train steps -> save checkpoint -> every
+``steps_per_evaluation`` run an eval pass -> plateau decay (track mean
+error rate per checkpoint window; clear the history on a new best; after 7
+non-improving windows multiply LR by ``lr_decay_factor``; stop when LR
+drops below 1e-7) -> epoch bookkeeping on dataset exhaustion with
+reshuffle-or-reuse controlled by ``dataset_size_ordering``
+(True / False / First_run_only).
+
+The recurrent-state reset coin (``rnn_state_reset_ratio``,
+/root/reference/models/AcousticModel.py:681) is drawn on the host per step
+and applied inside the compiled step.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from random import randint, shuffle
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnn_speech_tpu.config import Config
+from rnn_speech_tpu.train import checkpoint as ckpt
+from rnn_speech_tpu.train import metrics as metrics_mod
+from rnn_speech_tpu.train import pipeline as pipe_mod
+from rnn_speech_tpu.train import step as step_mod
+
+logger = logging.getLogger(__name__)
+
+MIN_LEARNING_RATE = 1e-7
+PLATEAU_STRIKES = 7
+
+
+def reset_coin(ratio: float) -> bool:
+    """randint(1, 1//ratio) == 1 — the reference's exact reset draw."""
+    upper = max(1, int(1 // ratio)) if ratio > 0 else 1 << 30
+    return randint(1, upper) == 1
+
+
+class PlateauPolicy:
+    """7-strike plateau LR decay with clear-on-improvement."""
+
+    def __init__(self, decay_factor: float):
+        self.decay_factor = decay_factor
+        self.history: List[float] = []
+
+    def update(self, mean_error_rate: float) -> bool:
+        """Record a checkpoint-window error rate; True => decay now."""
+        if mean_error_rate <= min(self.history, default=float("inf")):
+            self.history.clear()
+        self.history.append(mean_error_rate)
+        if len(self.history) >= PLATEAU_STRIKES:
+            self.history.clear()
+            return True
+        return False
+
+
+def train_acoustic(
+    config: Config,
+    train_set,
+    test_set,
+    char_map,
+    *,
+    max_epoch: Optional[int] = None,
+    learn_rate_override: Optional[float] = None,
+    tb_name: Optional[str] = None,
+    timeline: bool = False,
+    max_steps: Optional[int] = None,
+    mesh=None,
+    step_hook: Optional[Callable[[int, Dict], None]] = None,
+) -> step_mod.TrainState:
+    """Full acoustic training session. Returns the final train state."""
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend
+
+    tpu = config.tpu
+    compute_dtype = jnp.bfloat16 if tpu.compute_dtype == "bfloat16" else jnp.float32
+
+    pcfg = pipe_mod.PipelineConfig(
+        batch_size=config.batch_size,
+        mini_batch_size=config.mini_batch_size,
+        max_input_seq_length=config.max_input_seq_length,
+        max_target_seq_length=config.max_target_seq_length,
+        signal_processing=config.signal_processing,
+        num_workers=4 if tpu.prefetch_depth > 0 else 0,
+        prefetch_batches=max(tpu.prefetch_depth, 1),
+    )
+    fe = DeviceFrontend(
+        config.signal_processing, sr=pcfg.sample_rate, max_samples=pcfg.max_samples
+    )
+    model_cfg = acoustic.AcousticConfig(
+        num_layers=config.num_layers,
+        hidden_size=config.hidden_size,
+        input_dim=fe.feature_size,
+        num_labels=len(char_map),
+        normalization=config.batch_normalization,
+        compute_dtype=compute_dtype,
+        remat=tpu.remat,
+    )
+    scfg = step_mod.StepConfig(
+        model=model_cfg,
+        grad_clip=config.grad_clip,
+        input_keep_prob=config.dropout_input_keep_prob,
+        output_keep_prob=config.dropout_output_keep_prob,
+        frontend=fe,
+    )
+
+    state = step_mod.init_train_state(
+        jax.random.PRNGKey(0), model_cfg, config.batch_size, config.learning_rate
+    )
+    ckpt_dir = config.checkpoint_dir + "/acoustic/"
+    restored = ckpt.restore(ckpt_dir, state["params"])
+    if restored is not None:
+        params, step0, lr = restored
+        state["params"] = params
+        state["step"] = jnp.asarray(step0, jnp.int32)
+        state["lr"] = jnp.asarray(lr, jnp.float32)
+    if learn_rate_override is not None:
+        state["lr"] = jnp.asarray(learn_rate_override, jnp.float32)
+
+    if mesh is not None:
+        from rnn_speech_tpu.parallel import sharding as shard_mod
+
+        state, put_batch, train_fn, eval_fn = shard_mod.make_sharded_step(
+            mesh, scfg, state
+        )
+    else:
+        put_batch = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+        train_fn = jax.jit(step_mod.train_step, static_argnums=0,
+                           donate_argnums=(1,))
+        eval_fn = jax.jit(step_mod.eval_step, static_argnums=0)
+
+    writer = None
+    if config.tensorboard_dir:
+        writer = metrics_mod.MetricsWriter(config.tensorboard_dir, tb_name)
+
+    policy = PlateauPolicy(config.lr_decay_factor)
+    rng = jax.random.PRNGKey(1234)
+
+    epoch = 0
+    ordering = config.dataset_size_ordering
+    train_iter = iter(pipe_mod.InputPipeline(train_set, char_map, pcfg))
+    total_steps = 0
+
+    def next_batch():
+        nonlocal train_iter, epoch
+        try:
+            return next(train_iter), False
+        except StopIteration:
+            epoch += 1
+            logger.info("End of epoch number : %d", epoch)
+            if ordering in ("False", "First_run_only"):
+                logger.info("Shuffling the training dataset")
+                shuffle(train_set)
+            train_iter = iter(pipe_mod.InputPipeline(train_set, char_map, pcfg))
+            return next(train_iter), True
+
+    trace_ctx = None
+    if timeline and config.tensorboard_dir:
+        trace_ctx = jax.profiler.trace(config.tensorboard_dir)
+        trace_ctx.__enter__()
+
+    try:
+        while True:
+            window_err = 0.0
+            t0 = time.time()
+            for _ in range(config.steps_per_checkpoint):
+                batch, rolled = next_batch()
+                if rolled and max_epoch is not None and epoch > max_epoch:
+                    break
+                rng, sub = jax.random.split(rng)
+                state, metrics = train_fn(
+                    scfg, state, put_batch(batch), sub,
+                    jnp.asarray(reset_coin(config.rnn_state_reset_ratio)),
+                )
+                total_steps += 1
+                err = float(metrics["mean_error_rate"])
+                window_err += err / config.steps_per_checkpoint
+                if step_hook is not None:
+                    step_hook(total_steps, metrics)
+                logger.info(
+                    "Batch %d : loss %.5f - error_rate %.5f - duration %.2f",
+                    int(state["step"]), float(metrics["mean_loss"]), err,
+                    time.time() - t0,
+                )
+                t0 = time.time()
+                if max_steps is not None and total_steps >= max_steps:
+                    break
+
+            current_step = int(state["step"])
+            ckpt.save(ckpt_dir, state["params"], current_step, float(state["lr"]))
+            if writer:
+                writer.add_scalar("learning_rate", float(state["lr"]), current_step)
+                writer.add_scalar("train/mean_error_rate", window_err, current_step)
+                for li, (c, h) in enumerate(state["states"]):
+                    writer.add_histogram(f"rnn/layer{li}_cell", np.asarray(c),
+                                         current_step)
+                    writer.add_histogram(f"rnn/layer{li}_hidden", np.asarray(h),
+                                         current_step)
+
+            if (
+                test_set
+                and config.steps_per_evaluation
+                and current_step % config.steps_per_evaluation == 0
+            ):
+                eval_metrics = evaluate_dataset(
+                    eval_fn, scfg, state, test_set, char_map, pcfg, put_batch
+                )
+                logger.info(
+                    "Evaluation at step %d : loss %.5f - error_rate %.5f",
+                    current_step, eval_metrics["mean_loss"],
+                    eval_metrics["mean_error_rate"],
+                )
+                if writer:
+                    writer.add_scalar("test/mean_loss",
+                                      eval_metrics["mean_loss"], current_step)
+                    writer.add_scalar("test/mean_error_rate",
+                                      eval_metrics["mean_error_rate"], current_step)
+
+            if policy.update(window_err):
+                state["lr"] = state["lr"] * config.lr_decay_factor
+                logger.info("Model is not improving, decaying the learning rate")
+                if float(state["lr"]) < MIN_LEARNING_RATE:
+                    logger.info("Learning rate is too low, exiting")
+                    break
+                ckpt.save(ckpt_dir, state["params"], current_step,
+                          float(state["lr"]))
+
+            if max_epoch is not None and epoch > max_epoch:
+                logger.info("Max number of epochs reached, exiting training session")
+                break
+            if max_steps is not None and total_steps >= max_steps:
+                break
+    finally:
+        if trace_ctx is not None:
+            trace_ctx.__exit__(None, None, None)
+        if writer:
+            writer.close()
+    return state
+
+
+def evaluate_dataset(
+    eval_fn, scfg, state, test_set, char_map, pcfg, put_batch
+) -> Dict[str, float]:
+    """Mean loss/error over one pass of the test pipeline."""
+    losses, errs, n = 0.0, 0.0, 0
+    for batch in pipe_mod.InputPipeline(test_set, char_map, pcfg):
+        m = eval_fn(scfg, state, put_batch(batch))
+        losses += float(m["mean_loss"])
+        errs += float(m["mean_error_rate"])
+        n += 1
+    if n == 0:
+        return {"mean_loss": 0.0, "mean_error_rate": 0.0}
+    return {"mean_loss": losses / n, "mean_error_rate": errs / n}

@@ -1,0 +1,198 @@
+"""The jit-compiled train/eval steps with microbatch gradient accumulation.
+
+Reimplements the reference's three-phase batch protocol —
+``start_batch`` / N x ``run_step`` / ``end_batch``
+(/root/reference/models/AcousticModel.py:634-703, 887-939) — as ONE compiled
+program per step: a ``lax.scan`` over microbatches accumulates summed CTC
+gradients, loss and error-rate metrics while threading the recurrent state,
+then the summed gradients are global-norm clipped and applied with Adam.
+What took the reference 2 + N session round-trips per step is a single
+device dispatch here.
+
+The optional on-device frontend means a batch can arrive as raw padded
+audio; featurization then happens inside the same compiled step (the
+reference burned host CPU in tf.py_func workers for this).
+
+Deviation (documented): the train-time error-rate metric decodes greedily
+instead of running a beam search every microbatch — the reference's
+in-graph beam decode per mini-batch was a known training-throughput sink
+and affects only the metric, not the gradient.  Eval/WER paths use the full
+beam decoder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rnn_speech_tpu.models import acoustic
+from rnn_speech_tpu.ops import ctc, decode, editdistance
+from rnn_speech_tpu.train import optim
+
+TrainState = Dict[str, Any]   # params / opt / states / step / lr
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    model: acoustic.AcousticConfig
+    grad_clip: float = 1.0
+    input_keep_prob: float = 0.8
+    output_keep_prob: float = 0.5
+    frontend: Optional[Any] = None        # DeviceFrontend for raw-audio batches
+    greedy_metric_max_out: int = 0        # cap decode width for the metric
+
+
+def init_train_state(
+    key: jax.Array,
+    cfg: acoustic.AcousticConfig,
+    batch_size: int,
+    learning_rate: float,
+) -> TrainState:
+    params = acoustic.init_params(key, cfg)
+    return {
+        "params": params,
+        "opt": optim.init_adam(params),
+        "states": acoustic.zero_state(cfg, batch_size),
+        "step": jnp.zeros((), jnp.int32),
+        "lr": jnp.asarray(learning_rate, jnp.float32),
+    }
+
+
+def _featurize_micro(cfg: StepConfig, micro: Dict[str, jnp.ndarray]):
+    """Returns (features (T, B, D), frame_lengths (B,)) for one microbatch."""
+    if "features" in micro:
+        # (B, T, D) batch-major from the pipeline -> time-major.
+        feats = jnp.transpose(micro["features"], (1, 0, 2))
+        return feats, micro["frame_lengths"]
+    fe = cfg.frontend
+    feats, nf = fe(micro["audio"], micro["audio_lengths"])   # (B, T, D)
+    return jnp.transpose(feats, (1, 0, 2)), nf
+
+
+def _micro_loss(params, cfg: StepConfig, states, feats, frame_lengths,
+                labels, label_lengths, rng):
+    logits, new_states = acoustic.forward(
+        params, cfg.model, feats, frame_lengths, states,
+        dropout_rng=rng,
+        input_keep_prob=cfg.input_keep_prob,
+        output_keep_prob=cfg.output_keep_prob,
+    )
+    per_example = ctc.ctc_loss(logits, frame_lengths, labels, label_lengths)
+    total = jnp.sum(per_example)          # grads of the SUM, like TF's Adam
+    denom = jnp.maximum(frame_lengths.astype(jnp.float32), 1.0)
+    mean_loss = jnp.mean(per_example / denom)
+    return total, (mean_loss, logits, new_states)
+
+
+def train_step(
+    cfg: StepConfig,
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],   # leading axis = microbatches (MB, B, ...)
+    rng: jax.Array,
+    reset_state: jnp.ndarray,        # bool scalar: zero recurrent state after
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    params = state["params"]
+    grad_zero = jax.tree.map(jnp.zeros_like, params)
+
+    def micro_body(carry, micro):
+        states, grad_acc, loss_acc, err_acc, mrng = carry
+        mrng, drop_rng = jax.random.split(mrng)
+        feats, frame_lengths = _featurize_micro(cfg, micro)
+        labels = micro["labels"]
+        label_lengths = micro["label_lengths"]
+
+        (_, (mean_loss, logits, new_states)), grads = jax.value_and_grad(
+            _micro_loss, has_aux=True
+        )(params, cfg, states, feats, frame_lengths, labels, label_lengths,
+          drop_rng)
+
+        # Error-rate metric: greedy decode vs truth, no gradient.
+        pred, pred_len = decode.greedy_decode(
+            jax.lax.stop_gradient(logits), frame_lengths,
+            max_output=cfg.greedy_metric_max_out or labels.shape[1],
+        )
+        err = editdistance.error_rate(pred, pred_len, labels, label_lengths)
+
+        grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+        return (new_states, grad_acc, loss_acc + mean_loss, err_acc + err, mrng), None
+
+    (states, grad_sum, loss_sum, err_sum, _), _ = jax.lax.scan(
+        micro_body, (state["states"], grad_zero, 0.0, 0.0, rng), batch
+    )
+    num_micro = jax.tree.leaves(batch)[0].shape[0]
+
+    clipped, grad_norm = optim.clip_by_global_norm(grad_sum, cfg.grad_clip)
+    new_params, new_opt = optim.adam_update(
+        params, clipped, state["opt"], state["lr"]
+    )
+
+    # Stochastic recurrent-state reset (the rnn_state_reset_ratio policy):
+    # the host draws the coin, the device applies it.
+    states = jax.tree.map(
+        lambda s: jnp.where(reset_state, jnp.zeros_like(s), s), states
+    )
+
+    new_state = {
+        "params": new_params,
+        "opt": new_opt,
+        "states": states,
+        "step": state["step"] + 1,
+        "lr": state["lr"],
+    }
+    metrics = {
+        "mean_loss": loss_sum / num_micro,
+        "mean_error_rate": err_sum / num_micro,
+        "grad_norm": grad_norm,
+    }
+    return new_state, metrics
+
+
+def eval_step(
+    cfg: StepConfig,
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],   # (MB, B, ...) like train batches
+) -> Dict[str, jnp.ndarray]:
+    """Loss + greedy error rate over a batch, no dropout, fresh zero state
+    per batch (the reference always reset state in evaluation mode)."""
+    params = state["params"]
+    B = jax.tree.leaves(batch)[0].shape[1]
+    zero_states = acoustic.zero_state(cfg.model, B)
+
+    def micro_body(carry, micro):
+        loss_acc, err_acc = carry
+        feats, frame_lengths = _featurize_micro(cfg, micro)
+        logits, _ = acoustic.forward(
+            params, cfg.model, feats, frame_lengths, zero_states
+        )
+        per = ctc.ctc_loss(logits, frame_lengths, micro["labels"],
+                           micro["label_lengths"])
+        denom = jnp.maximum(frame_lengths.astype(jnp.float32), 1.0)
+        mean_loss = jnp.mean(per / denom)
+        pred, pred_len = decode.greedy_decode(
+            logits, frame_lengths, max_output=micro["labels"].shape[1]
+        )
+        err = editdistance.error_rate(
+            pred, pred_len, micro["labels"], micro["label_lengths"]
+        )
+        return (loss_acc + mean_loss, err_acc + err), None
+
+    (loss_sum, err_sum), _ = jax.lax.scan(micro_body, (0.0, 0.0), batch)
+    num_micro = jax.tree.leaves(batch)[0].shape[0]
+    return {
+        "mean_loss": loss_sum / num_micro,
+        "mean_error_rate": err_sum / num_micro,
+    }
+
+
+def forward_step(
+    cfg: StepConfig,
+    params,
+    states,
+    feats_tm: jnp.ndarray,        # (T, B, D) time-major features
+    frame_lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Any]:
+    """Inference forward: logits + updated streaming state (no dropout)."""
+    return acoustic.forward(params, cfg.model, feats_tm, frame_lengths, states)

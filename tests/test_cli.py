@@ -1,0 +1,143 @@
+"""CLI end-to-end tests: train/file/evaluate/LM/generate over a tiny corpus."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from rnn_speech_tpu import audio_io
+from rnn_speech_tpu.cli import main, parse_args
+
+CONFIG_TEMPLATE = """
+[acoustic_network_params]
+num_layers : 1
+hidden_size : 24
+dropout_input_keep_prob : 1.0
+dropout_output_keep_prob : 1.0
+batch_size : 2
+mini_batch_size : 2
+learning_rate : 0.003
+lr_decay_factor : 0.33
+grad_clip : 5
+signal_processing : fbank
+language : english
+rnn_state_reset_ratio : 1.0
+
+[general]
+use_config_file_if_checkpoint_exists : True
+steps_per_checkpoint : 2
+steps_per_evaluation : 1000
+checkpoint_dir : {root}/ckpt
+
+[training]
+training_dataset_dirs : {root}/corpus
+test_dataset_dirs : {root}/corpus
+max_input_seq_length : 120
+max_target_seq_length : 40
+batch_normalization : False
+dataset_size_ordering : False
+
+[logging]
+log_level : WARNING
+
+[tpu]
+compute_dtype : float32
+use_pallas_lstm : False
+prefetch_depth : 0
+"""
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    corpus_dir = root / "corpus" / "dev"
+    corpus_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    texts = ["hey there", "good day", "see you", "all right"]
+    for i, text in enumerate(texts):
+        n = int(22050 * 0.8)
+        sig = (0.3 * np.sin(2 * np.pi * (250 + 120 * i) * np.arange(n) / 22050)
+               + 0.01 * rng.normal(size=n)).astype(np.float32)
+        wav = str(corpus_dir / f"c{i}.wav")
+        audio_io.write_wav(wav, sig, 22050)
+        with open(str(corpus_dir / f"c{i}.wav.trn"), "w") as fh:
+            fh.write(text.upper() + "\n")
+    cfg_path = root / "config.ini"
+    cfg_path.write_text(CONFIG_TEMPLATE.format(root=root))
+    return root, str(cfg_path)
+
+
+def test_parse_args_modes():
+    prog = parse_args(["--train_acoustic", "--config", "x.ini", "--max_epoch", "3"])
+    assert prog["train_acoustic"] and prog["max_epoch"] == 3
+    prog = parse_args(["--file", "a.wav", "--beam_width", "4"])
+    assert prog["file"] == "a.wav" and prog["beam_width"] == 4
+    with pytest.raises(SystemExit):
+        parse_args([])  # a mode is required
+    with pytest.raises(SystemExit):
+        parse_args(["--file", "a.wav", "--evaluate"])  # mutually exclusive
+
+
+def test_train_acoustic_cli(workdir):
+    root, cfg = workdir
+    rc = main(["--train_acoustic", "--config", cfg, "--max_steps", "3",
+               "--max_epoch", "5"])
+    assert rc == 0
+    ckpts = os.listdir(str(root / "ckpt" / "acoustic"))
+    assert any(name.endswith(".npz") for name in ckpts)
+    assert "checkpoint" in ckpts
+
+
+def test_process_file_cli(workdir, capsys):
+    root, cfg = workdir
+    wav = str(root / "corpus" / "dev" / "c0.wav")
+    rc = main(["--file", wav, "--config", cfg, "--beam_width", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # Untrained model output may be empty text, but the mode must print a line.
+    assert out.endswith("\n")
+
+
+def test_evaluate_cli(workdir, capsys):
+    root, cfg = workdir
+    rc = main(["--evaluate", "--config", cfg, "--beam_width", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Resulting WER" in out and "Resulting CER" in out
+
+
+def test_train_language_and_generate_cli(workdir, capsys):
+    root, cfg = workdir
+    rc = main(["--train_language", "--config", cfg, "--max_steps", "10"])
+    assert rc == 0
+    assert any(
+        name.endswith(".npz")
+        for name in os.listdir(str(root / "ckpt" / "language"))
+    )
+    capsys.readouterr()
+    rc = main(["--generate_text", "--config", cfg])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("O")
+
+
+def test_record_without_pyaudio(workdir):
+    root, cfg = workdir
+    rc = main(["--record", "--config", cfg])
+    assert rc == 1  # graceful gate, not a crash
+
+
+def test_cli_subprocess_smoke(workdir):
+    """The real surface: python stt.py through a subprocess."""
+    root, cfg = workdir
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "stt.py"),
+         "--evaluate", "--config", cfg, "--beam_width", "1"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Resulting CER" in proc.stdout

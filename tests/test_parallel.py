@@ -1,0 +1,95 @@
+"""Mesh/sharding tests on the virtual 8-device CPU platform."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnn_speech_tpu.models import acoustic
+from rnn_speech_tpu.parallel import mesh as mesh_mod
+from rnn_speech_tpu.parallel import sharding as shard_mod
+from rnn_speech_tpu.train import step as step_mod
+
+
+def make_batch(rng, MB, B, T, D, L):
+    feats = rng.normal(0, 0.5, (MB, B, T, D)).astype(np.float32)
+    labels = np.full((MB, B, L), -1, np.int32)
+    label_lengths = rng.integers(1, L, (MB, B)).astype(np.int32)
+    for m in range(MB):
+        for b in range(B):
+            labels[m, b, : label_lengths[m, b]] = rng.integers(
+                0, 4, label_lengths[m, b]
+            )
+    return {
+        "features": feats,
+        "frame_lengths": np.full((MB, B), T, np.int32),
+        "labels": labels,
+        "label_lengths": label_lengths,
+    }
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, (
+        "conftest must force an 8-device CPU platform"
+    )
+
+
+def test_make_mesh_shapes():
+    mesh = mesh_mod.make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh2 = mesh_mod.make_mesh(0, 2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        mesh_mod.make_mesh(16, 1)
+
+
+@pytest.mark.parametrize("data,model", [(4, 1), (2, 2)])
+def test_sharded_train_step_matches_single_device(data, model):
+    cfg = step_mod.StepConfig(
+        model=acoustic.AcousticConfig(
+            num_layers=2, hidden_size=16, input_dim=8, num_labels=6
+        ),
+        input_keep_prob=1.0, output_keep_prob=1.0,
+    )
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, MB=2, B=8, T=12, D=8, L=5)
+    state0 = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 8, 0.01)
+
+    # Single device baseline.
+    sbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    ref_state, ref_metrics = step_mod.train_step(
+        cfg, jax.tree.map(jnp.copy, state0), sbatch,
+        jax.random.PRNGKey(7), jnp.asarray(False),
+    )
+
+    # Sharded.
+    mesh = mesh_mod.make_mesh(data, model)
+    st, put_batch, train_fn, eval_fn = shard_mod.make_sharded_step(
+        mesh, cfg, jax.tree.map(jnp.copy, state0)
+    )
+    st2, metrics = train_fn(cfg, st, put_batch(batch),
+                            jax.random.PRNGKey(7), jnp.asarray(False))
+
+    np.testing.assert_allclose(
+        float(metrics["mean_loss"]), float(ref_metrics["mean_loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(ref_state["params"]),
+                    jax.tree.leaves(st2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    # A second step runs on the sharded state (donation/aliasing sound).
+    st3, _ = train_fn(cfg, st2, put_batch(batch),
+                      jax.random.PRNGKey(8), jnp.asarray(True))
+    assert int(st3["step"]) == 2
+
+    # Eval path under the mesh.
+    em = eval_fn(cfg, st3, put_batch(batch))
+    assert np.isfinite(float(em["mean_loss"]))
+
+
+def test_batch_shardings_cover_all_keys():
+    mesh = mesh_mod.make_mesh(4, 1)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, 2, 8, 12, 8, 5)
+    sh = shard_mod.batch_shardings(mesh, batch)
+    assert set(sh) == set(batch)

@@ -1,0 +1,231 @@
+"""Model + train-step tests: convergence, state carry, checkpoint, pipeline."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnn_speech_tpu.charmap import CharMap
+from rnn_speech_tpu.models import acoustic, language
+from rnn_speech_tpu.train import checkpoint, optim, pipeline, step as step_mod
+
+
+def make_cfg(**kw):
+    defaults = dict(num_layers=2, hidden_size=16, input_dim=8, num_labels=6)
+    defaults.update(kw)
+    return acoustic.AcousticConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def toy_batch():
+    """Synthetic separable task: feature channel c active => label c."""
+    rng = np.random.default_rng(0)
+    MB, B, T, D, L = 2, 3, 20, 8, 5
+    feats = rng.normal(0, 0.1, (MB, B, T, D)).astype(np.float32)
+    labels = np.full((MB, B, L), -1, np.int32)
+    label_lengths = np.zeros((MB, B), np.int32)
+    frame_lengths = np.full((MB, B), T, np.int32)
+    for m in range(MB):
+        for b in range(B):
+            seq = rng.integers(0, 4, 3)
+            labels[m, b, :3] = seq
+            label_lengths[m, b] = 3
+            for i, c in enumerate(seq):
+                feats[m, b, i * 6 : i * 6 + 4, c] += 2.0
+    return {
+        "features": feats,
+        "frame_lengths": frame_lengths,
+        "labels": labels,
+        "label_lengths": label_lengths,
+    }
+
+
+def test_train_step_decreases_loss(toy_batch):
+    cfg = step_mod.StepConfig(
+        model=make_cfg(), grad_clip=5.0, input_keep_prob=1.0, output_keep_prob=1.0
+    )
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 3, 0.01)
+    batch = {k: jnp.asarray(v) for k, v in toy_batch.items()}
+    train = jax.jit(step_mod.train_step, static_argnums=0)
+    losses = []
+    for i in range(60):
+        state, metrics = train(
+            cfg, state, batch, jax.random.PRNGKey(i), jnp.asarray(True)
+        )
+        losses.append(float(metrics["mean_loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    assert int(state["step"]) == 60
+    assert float(metrics["mean_error_rate"]) < 1.0
+
+
+def test_eval_step_runs(toy_batch):
+    cfg = step_mod.StepConfig(model=make_cfg())
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 3, 0.01)
+    batch = {k: jnp.asarray(v) for k, v in toy_batch.items()}
+    metrics = jax.jit(step_mod.eval_step, static_argnums=0)(cfg, state, batch)
+    assert np.isfinite(float(metrics["mean_loss"]))
+    assert np.isfinite(float(metrics["mean_error_rate"]))
+
+
+def test_state_reset_flag(toy_batch):
+    cfg = step_mod.StepConfig(model=make_cfg())
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 3, 0.01)
+    batch = {k: jnp.asarray(v) for k, v in toy_batch.items()}
+    s1, _ = step_mod.train_step(cfg, state, batch, jax.random.PRNGKey(0),
+                                jnp.asarray(False))
+    assert float(jnp.abs(s1["states"][0][0]).max()) > 0.0
+    s2, _ = step_mod.train_step(cfg, state, batch, jax.random.PRNGKey(0),
+                                jnp.asarray(True))
+    for c, h in s2["states"]:
+        assert float(jnp.abs(c).max()) == 0.0
+        assert float(jnp.abs(h).max()) == 0.0
+
+
+def test_grad_clip_bounds_update():
+    g = {"a": jnp.full((4,), 100.0), "b": jnp.full((2, 2), -50.0)}
+    clipped, norm = optim.clip_by_global_norm(g, 1.0)
+    assert float(optim.global_norm(clipped)) == pytest.approx(1.0, rel=1e-5)
+    assert float(norm) > 100.0
+    # Under the threshold: unchanged.
+    g2 = {"a": jnp.asarray([0.1, 0.2])}
+    clipped2, _ = optim.clip_by_global_norm(g2, 1.0)
+    np.testing.assert_allclose(clipped2["a"], g2["a"], rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = make_cfg()
+    params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
+    path = checkpoint.save(str(tmp_path), params, step=42, learning_rate=3e-4)
+    assert os.path.exists(path)
+    out = checkpoint.restore(str(tmp_path), params)
+    assert out is not None
+    restored, step, lr = out
+    assert step == 42 and lr == pytest.approx(3e-4)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_latest_and_missing(tmp_path):
+    cfg = make_cfg()
+    params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
+    assert checkpoint.restore(str(tmp_path), params) is None
+    checkpoint.save(str(tmp_path), params, 1, 0.1)
+    checkpoint.save(str(tmp_path), params, 7, 0.2)
+    _, step, lr = checkpoint.restore(str(tmp_path), params)
+    assert step == 7 and lr == pytest.approx(0.2)
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    params = acoustic.init_params(jax.random.PRNGKey(0), make_cfg())
+    checkpoint.save(str(tmp_path), params, 1, 0.1)
+    bigger = acoustic.init_params(jax.random.PRNGKey(0), make_cfg(hidden_size=32))
+    with pytest.raises(ValueError):
+        checkpoint.restore(str(tmp_path), bigger)
+
+
+# ---------------------------------------------------------------- pipeline
+
+@pytest.fixture(scope="module")
+def wav_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wavs")
+    from rnn_speech_tpu import audio_io
+
+    rng = np.random.default_rng(1)
+    dataset = []
+    for i, text in enumerate(["hello there", "nice day", "the cat sat",
+                              "on the mat", "very good"]):
+        dur = 0.5 + 0.2 * i
+        n = int(22050 * dur)
+        sig = (0.3 * np.sin(2 * np.pi * (300 + 100 * i) * np.arange(n) / 22050)
+               + 0.01 * rng.normal(size=n)).astype(np.float32)
+        path = str(root / f"clip{i}.wav")
+        audio_io.write_wav(path, sig, 22050)
+        dataset.append([path, text, dur])
+    return dataset
+
+
+def test_pipeline_device_mode(wav_dataset):
+    cm = CharMap()
+    cfg = pipeline.PipelineConfig(
+        batch_size=2, mini_batch_size=2, max_input_seq_length=120,
+        max_target_seq_length=30,
+    )
+    batches = list(pipeline.InputPipeline(wav_dataset, cm, cfg))
+    assert len(batches) == 2        # 5 items -> 4 + 1(padded)
+    b0 = batches[0]
+    assert b0["audio"].shape == (2, 2, cfg.max_samples)
+    assert b0["audio_lengths"].shape == (2, 2)
+    assert b0["labels"].shape == (2, 2, 30)
+    # Final batch padded with empty items.
+    b1 = batches[1]
+    assert int(b1["audio_lengths"][0, 1]) == 0 or int(b1["label_lengths"][0, 1]) == 0
+
+
+def test_pipeline_host_mode(wav_dataset):
+    cm = CharMap()
+    cfg = pipeline.PipelineConfig(
+        batch_size=2, mini_batch_size=1, max_input_seq_length=120,
+        max_target_seq_length=30, on_device_frontend=False,
+    )
+    batches = list(pipeline.InputPipeline(wav_dataset, cm, cfg))
+    b0 = batches[0]
+    assert b0["features"].shape == (1, 2, 120, 120)
+    assert (b0["frame_lengths"] <= 120).all()
+    assert b0["label_lengths"].max() > 0
+
+
+def test_pipeline_parallel_matches_sync(wav_dataset):
+    cm = CharMap()
+    kw = dict(batch_size=2, mini_batch_size=1, max_input_seq_length=120,
+              max_target_seq_length=30)
+    sync = list(pipeline.InputPipeline(
+        wav_dataset, cm, pipeline.PipelineConfig(**kw)))
+    par = list(pipeline.InputPipeline(
+        wav_dataset, cm, pipeline.PipelineConfig(num_workers=2, **kw)))
+    assert len(sync) == len(par)
+    for s, p in zip(sync, par):
+        np.testing.assert_array_equal(s["audio_lengths"], p["audio_lengths"])
+        np.testing.assert_allclose(s["audio"], p["audio"], atol=1e-7)
+        np.testing.assert_array_equal(s["labels"], p["labels"])
+
+
+def test_train_step_on_device_frontend(wav_dataset):
+    """End-to-end: raw audio batch -> on-device featurize -> CTC step."""
+    from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend
+
+    cm = CharMap()
+    pcfg = pipeline.PipelineConfig(
+        batch_size=2, mini_batch_size=2, max_input_seq_length=120,
+        max_target_seq_length=30,
+    )
+    batch = next(iter(pipeline.InputPipeline(wav_dataset, cm, pcfg)))
+    fe = DeviceFrontend("fbank", sr=22050, max_samples=pcfg.max_samples)
+    cfg = step_mod.StepConfig(
+        model=make_cfg(input_dim=120, num_labels=len(cm)),
+        frontend=fe, input_keep_prob=1.0, output_keep_prob=1.0,
+    )
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 2, 1e-3)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, metrics = step_mod.train_step(
+        cfg, state, jbatch, jax.random.PRNGKey(0), jnp.asarray(True)
+    )
+    assert np.isfinite(float(metrics["mean_loss"]))
+    assert float(metrics["mean_loss"]) > 0
+
+
+def test_language_model_loss_and_generate():
+    cm = CharMap()
+    cfg = language.LanguageConfig(num_layers=1, hidden_size=16, num_labels=len(cm))
+    params = language.init_params(jax.random.PRNGKey(0), cfg)
+    ids = cm.encode("hello world hello world", add_eos=False)
+    T = len(ids)
+    chars = jnp.asarray(np.asarray(ids)[:, None], jnp.int32)
+    loss = language.next_char_loss(
+        params, cfg, chars, jnp.asarray([T]), language.zero_state(cfg, 1)
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    out = language.generate(params, cfg, cm.encode("O", add_eos=False), 5)
+    assert len(out) == 5
+    assert all(0 <= c < len(cm) for c in out)

@@ -25,9 +25,9 @@ import numpy as np
 SR = 22050
 SECONDS = 10.24
 MAX_SAMPLES = int(SR * SECONDS)
-BATCH = 16
+BATCH = 64
 LAYERS, HIDDEN, LABELS = 3, 1024, 80
-WARMUP, ITERS = 2, 8
+WARMUP, ITERS = 2, 10
 
 
 def bench_tpu() -> float:
@@ -42,6 +42,7 @@ def bench_tpu() -> float:
     cfg = acoustic.AcousticConfig(
         num_layers=LAYERS, hidden_size=HIDDEN, input_dim=fe.feature_size,
         num_labels=LABELS, compute_dtype=jnp.bfloat16,
+        use_pallas=jax.default_backend() != "cpu",
     )
     params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
     states = acoustic.zero_state(cfg, BATCH)
@@ -60,12 +61,12 @@ def bench_tpu() -> float:
     lengths = jnp.asarray(np.full((BATCH,), MAX_SAMPLES, np.int32))
 
     for _ in range(WARMUP):
-        out = eval_fn(params, audio, lengths)
-        jax.block_until_ready(out)
+        jax.block_until_ready(eval_fn(params, audio, lengths))
+    # Pipelined dispatch (what a real eval loop does): enqueue all batches,
+    # block once — overlaps host dispatch with device execution.
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = eval_fn(params, audio, lengths)
-        jax.block_until_ready(out)
+    outs = [eval_fn(params, audio, lengths) for _ in range(ITERS)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
 

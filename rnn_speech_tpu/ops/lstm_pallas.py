@@ -51,7 +51,7 @@ def _recurrence_kernel(mask_ref, xproj_ref, wh_ref, h0_ref, c0_ref,
     c_new = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
 
-    m = mask_ref[0][:, None]  # (B, 1) float {0, 1}
+    m = mask_ref[0, 0][:, None]  # (B, 1) float {0, 1}
     c_s[:] = m * c_new + (1.0 - m) * c
     h_s[:] = m * h_new + (1.0 - m) * h
     out_ref[0] = m * h_new
@@ -65,7 +65,8 @@ def _recurrence_kernel(mask_ref, xproj_ref, wh_ref, h0_ref, c0_ref,
 def lstm_recurrence_pallas(
     x_proj: jnp.ndarray,        # (T, B, 4H) float32, bias already added
     w_h: jnp.ndarray,           # (H, 4H) in compute dtype
-    mask: jnp.ndarray,          # (T, B) float32 validity mask
+    mask: jnp.ndarray,          # (T, 1, B) float32 validity mask (the unit
+                                # middle axis satisfies TPU block tiling)
     h0: jnp.ndarray,            # (B, H) float32
     c0: jnp.ndarray,            # (B, H) float32
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -76,7 +77,7 @@ def lstm_recurrence_pallas(
         _recurrence_kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, B), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, four_h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -119,7 +120,9 @@ def lstm_layer_pallas(
         jnp.dot(x.astype(cd), params["w_x"].astype(cd), preferred_element_type=jnp.float32)
         + params["b"].astype(jnp.float32)
     )
-    mask = (jnp.arange(T)[:, None] < seq_lengths[None, :]).astype(jnp.float32)
+    mask = (jnp.arange(T)[:, None] < seq_lengths[None, :]).astype(
+        jnp.float32
+    )[:, None, :]
     c0, h0 = state
     out, hn, cn = lstm_recurrence_pallas(
         x_proj, params["w_h"].astype(cd), mask,

@@ -1,0 +1,147 @@
+"""Loop policies, metrics writer, WER/CER, recognizer wrapper."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rnn_speech_tpu.train.loop import PlateauPolicy, reset_coin
+from rnn_speech_tpu.train.metrics import (
+    MetricsWriter,
+    calculate_cer,
+    calculate_wer,
+)
+
+
+# ------------------------------------------------------------ plateau policy
+
+def test_plateau_decays_after_seven_strikes():
+    p = PlateauPolicy(0.33)
+    assert p.update(1.0) is False          # first entry (also the best)
+    decayed = [p.update(1.0 + i * 0.01) for i in range(1, 7)]
+    # 7th non-improving entry triggers the decay.
+    assert decayed == [False] * 5 + [True]
+    assert p.history == []                 # cleared after decay
+
+
+def test_plateau_clears_on_improvement():
+    p = PlateauPolicy(0.33)
+    for _ in range(5):
+        p.update(1.0)
+    assert p.update(0.5) is False          # improvement clears history
+    assert len(p.history) == 1
+
+
+def test_reset_coin_distribution():
+    np.random.seed(0)
+    import random
+
+    random.seed(0)
+    draws = [reset_coin(1.0) for _ in range(100)]
+    assert all(draws)                      # ratio 1.0 -> always reset
+    draws = [reset_coin(0.25) for _ in range(4000)]
+    assert 0.15 < np.mean(draws) < 0.35    # ~25%
+
+
+# ---------------------------------------------------------------- metrics IO
+
+def test_metrics_writer_scalars_and_histograms(tmp_path):
+    w = MetricsWriter(str(tmp_path), "run1")
+    w.add_scalar("loss", 1.5, step=10)
+    w.add_histogram("weights", np.arange(100.0), step=10)
+    w.close()
+    lines = [json.loads(l) for l in open(w.path)]
+    assert lines[0]["kind"] == "scalar" and lines[0]["value"] == 1.5
+    hist = lines[1]
+    assert hist["kind"] == "histogram"
+    assert hist["min"] == 0.0 and hist["max"] == 99.0
+    assert sum(hist["counts"]) == 100
+
+
+def test_metrics_writer_appends(tmp_path):
+    w1 = MetricsWriter(str(tmp_path), "run")
+    w1.add_scalar("a", 1.0, 1)
+    w1.close()
+    w2 = MetricsWriter(str(tmp_path), "run")
+    w2.add_scalar("a", 2.0, 2)
+    w2.close()
+    assert len(open(w2.path).readlines()) == 2
+
+
+# ------------------------------------------------------------------- WER/CER
+
+def test_wer_reference_examples():
+    assert calculate_wer("who is there", "is there") == 1
+    assert calculate_wer("who is there", "") == 3
+    assert calculate_wer("", "who is there") == 3
+
+
+def test_cer_reference_examples():
+    assert calculate_cer("who is there", "whois there") == 0
+    assert calculate_cer("who is there", "who i thre") == 2
+    assert calculate_cer("", "who is there") == 10
+
+
+# ------------------------------------------------------------- recognizer
+
+def test_recognizer_language_gate():
+    from rnn_speech_tpu.models.recognizer import SpeechRecognizer
+
+    reco = SpeechRecognizer("english")
+    assert reco.get_char_map_length() == 80
+    with pytest.raises(ValueError):
+        SpeechRecognizer("klingon")
+
+
+def test_recognizer_split_policies(tmp_path):
+    from rnn_speech_tpu import audio_io
+    from rnn_speech_tpu.models.recognizer import SpeechRecognizer
+
+    dev = tmp_path / "corpus" / "dev"
+    dev.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        n = int(22050 * (0.5 + 0.1 * i))
+        audio_io.write_wav(str(dev / f"c{i}.wav"),
+                           rng.normal(0, 0.1, n).astype(np.float32), 22050)
+        (dev / f"c{i}.wav.trn").write_text(f"sample number {i}\n")
+
+    # Ordered: ascending duration.
+    train, test = SpeechRecognizer.load_acoustic_dataset(
+        str(tmp_path / "corpus"), ordered=True
+    )
+    durations = [item[2] for item in train]
+    assert durations == sorted(durations)
+    assert test == []
+
+    # train_frac split.
+    train, test = SpeechRecognizer.load_acoustic_dataset(
+        str(tmp_path / "corpus"), train_frac=0.5
+    )
+    assert len(train) == 3 and len(test) == 3
+
+    # Separate test dirs.
+    train, test = SpeechRecognizer.load_acoustic_dataset(
+        str(tmp_path / "corpus"), test_dataset_dirs=str(tmp_path / "corpus")
+    )
+    assert len(test) == 6
+
+
+def test_sweep_tool_dry_run(tmp_path):
+    import subprocess
+    import sys
+
+    cfg = tmp_path / "config.ini"
+    cfg.write_text(
+        "[acoustic_network_params]\nnum_layers : 1\n"
+        "[general]\ncheckpoint_dir : x\n[training]\n[logging]\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "tools/sweep.py", "--config", str(cfg),
+         "--out", str(tmp_path / "runs"), "--dry_run",
+         "--set", "acoustic_network_params.num_layers=1,2"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "num_layers-1" in proc.stdout and "num_layers-2" in proc.stdout
+    assert (tmp_path / "runs" / "num_layers-2" / "config.ini").exists()

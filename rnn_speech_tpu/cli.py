@@ -109,6 +109,8 @@ def _build_forward(config, char_map, batch_size: int):
     compute_dtype = (
         jnp.bfloat16 if config.tpu.compute_dtype == "bfloat16" else jnp.float32
     )
+    import jax
+
     model_cfg = acoustic.AcousticConfig(
         num_layers=config.num_layers,
         hidden_size=config.hidden_size,
@@ -116,10 +118,9 @@ def _build_forward(config, char_map, batch_size: int):
         num_labels=len(char_map),
         normalization=config.batch_normalization,
         compute_dtype=compute_dtype,
-        use_pallas=config.tpu.use_pallas_lstm,
+        use_pallas=config.tpu.use_pallas_lstm
+        and jax.default_backend() != "cpu",
     )
-
-    import jax
 
     from rnn_speech_tpu.models import acoustic as am
 

@@ -10,15 +10,24 @@ a (1, B, 4H) block.  This removes per-step HBM round-trips for h/c/W_h —
 the scan-based path re-reads W_h from HBM every step unless XLA happens to
 keep it cached.
 
-Forward-only: the training path uses the autodiff-able ``lax.scan``
-recurrence (rnn_speech_tpu.ops.lstm); this kernel serves eval, decoding and
-streaming.  Gate dynamics are identical (order (i, g, f, o), forget bias
-+1.0, dynamic_rnn length masking) and are pinned against the scan path by
-tests/test_lstm.py.
+Differentiable: ``lstm_layer_pallas`` carries a custom VJP so the same
+fused recurrence serves training.  The forward-for-grad kernel additionally
+streams out the activated gates and the carried cell sequence (the cuDNN
+residual strategy); the backward kernel walks the grid in *reverse* time
+with the dh/dc carries living in VMEM scratch and W_h resident, emitting
+per-step pre-activation gate gradients.  The weight/input gradients then
+reduce to three large MXU matmuls outside the kernel:
+    dW_h = h_prev^T · dgates,  dW_x = x^T · dgates,  dx = dgates · W_x^T
+so no (H, 4H) accumulator ever competes for VMEM with the weights.
+
+Gate dynamics are identical to the scan path (order (i, g, f, o), forget
+bias +1.0, dynamic_rnn length masking) and both values and gradients are
+pinned against it by tests/test_lstm.py.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -106,6 +115,251 @@ def lstm_recurrence_pallas(
     return out, hn, cn
 
 
+def _recurrence_train_kernel(mask_ref, xproj_ref, wh_ref, h0_ref, c0_ref,
+                             out_ref, hn_ref, cn_ref, gates_ref, cseq_ref,
+                             h_s, c_s):
+    """Forward recurrence that also streams residuals for the backward pass:
+    activated gates (i, g, f, o) and the carried cell state per step."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    h = h_s[:]
+    c = c_s[:]
+    H = h.shape[-1]
+
+    gates = xproj_ref[0] + jnp.dot(
+        h.astype(wh_ref.dtype), wh_ref[:], preferred_element_type=jnp.float32
+    )
+    i_a = jax.nn.sigmoid(gates[:, :H])
+    g_a = jnp.tanh(gates[:, H : 2 * H])
+    f_a = jax.nn.sigmoid(gates[:, 2 * H : 3 * H] + 1.0)
+    o_a = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_new = f_a * c + i_a * g_a
+    h_new = o_a * jnp.tanh(c_new)
+
+    m = mask_ref[0, 0][:, None]  # (B, 1) float {0, 1}
+    c_carried = m * c_new + (1.0 - m) * c
+    c_s[:] = c_carried
+    h_s[:] = m * h_new + (1.0 - m) * h
+    out_ref[0] = m * h_new
+    gates_ref[0] = jnp.concatenate([i_a, g_a, f_a, o_a], axis=-1)
+    cseq_ref[0] = c_carried
+
+    @pl.when(t == T - 1)
+    def _():
+        hn_ref[:] = h_s[:]
+        cn_ref[:] = c_s[:]
+
+
+def _lstm_recurrence_train(x_proj, w_h, mask, h0, c0):
+    """Forward with residuals. Returns (out, hn, cn, gates_act, c_seq)."""
+    T, B, four_h = x_proj.shape
+    H = four_h // 4
+    return pl.pallas_call(
+        _recurrence_train_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, four_h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, four_h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * four_h,
+            bytes_accessed=T * B * four_h * 8 + T * B * H * 8
+            + H * four_h * w_h.dtype.itemsize,
+            transcendentals=4 * T * B * H,
+        ),
+    )(mask, x_proj, w_h, h0, c0)
+
+
+def _recurrence_bwd_kernel(dout_ref, gates_ref, cseq_ref, cprev_ref,
+                           mask_ref, wh_ref, dhn_ref, dcn_ref,
+                           dgates_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+    """Reverse-time step: consume residuals, emit pre-activation dgates.
+
+    Grid step i visits t = T-1-i (the index maps reverse the time axis), so
+    the dh/dc carries in scratch flow backward with W_h resident in VMEM.
+    """
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        dh_s[:] = dhn_ref[:]
+        dc_s[:] = dcn_ref[:]
+
+    gates = gates_ref[0]
+    H = dh_s.shape[-1]
+    i_a = gates[:, :H]
+    g_a = gates[:, H : 2 * H]
+    f_a = gates[:, 2 * H : 3 * H]
+    o_a = gates[:, 3 * H :]
+
+    m = mask_ref[0, 0][:, None]          # (B, 1) float {0, 1}
+    dh_carry = dh_s[:]
+    dc_carry = dc_s[:]
+
+    tanh_c = jnp.tanh(cseq_ref[0])       # = tanh(c_new) wherever m == 1
+    dh_new = m * (dout_ref[0] + dh_carry)
+    do_pre = dh_new * tanh_c * o_a * (1.0 - o_a)
+    dc_new = dh_new * o_a * (1.0 - tanh_c * tanh_c) + m * dc_carry
+    di_pre = dc_new * g_a * i_a * (1.0 - i_a)
+    dg_pre = dc_new * i_a * (1.0 - g_a * g_a)
+    df_pre = dc_new * cprev_ref[0] * f_a * (1.0 - f_a)
+
+    dgates = jnp.concatenate([di_pre, dg_pre, df_pre, do_pre], axis=-1)
+    dgates_ref[0] = dgates
+
+    # Grad into h_{t-1}: passthrough where masked + the recurrent matmul.
+    dh_prev = jax.lax.dot_general(
+        dgates.astype(wh_ref.dtype), wh_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_s[:] = (1.0 - m) * dh_carry + dh_prev
+    dc_s[:] = (1.0 - m) * dc_carry + dc_new * f_a
+
+    @pl.when(i == T - 1)
+    def _():
+        dh0_ref[:] = dh_s[:]
+        dc0_ref[:] = dc_s[:]
+
+
+def _lstm_recurrence_bwd(dout, gates_act, c_seq, c_prev_seq, mask, w_h,
+                         dhn, dcn):
+    """Returns (dgates (T, B, 4H) pre-activation, dh0, dc0)."""
+    T, B, four_h = gates_act.shape
+    H = four_h // 4
+    rev = lambda t: (T - 1 - t, 0, 0)
+    return pl.pallas_call(
+        _recurrence_bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, four_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, four_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * four_h,
+            bytes_accessed=T * B * (four_h * 8 + H * 12),
+            transcendentals=T * B * H,
+        ),
+    )(dout, gates_act, c_seq, c_prev_seq, mask, w_h, dhn, dcn)
+
+
+# ------------------------------------------------------------- custom VJP
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _lstm_core(w_x, w_h, b, x, mask, c0, h0, cd):
+    """Fused LSTM layer. Returns (out (T, B, H), cn, hn); ``mask`` is the
+    (T, 1, B) float validity mask, ``cd`` the MXU compute dtype."""
+    x_proj = (
+        jnp.dot(x.astype(cd), w_x.astype(cd), preferred_element_type=jnp.float32)
+        + b.astype(jnp.float32)
+    )
+    out, hn, cn = lstm_recurrence_pallas(
+        x_proj, w_h.astype(cd), mask, h0.astype(jnp.float32),
+        c0.astype(jnp.float32),
+    )
+    return out, cn, hn
+
+
+def _lstm_core_fwd(w_x, w_h, b, x, mask, c0, h0, cd):
+    x_proj = (
+        jnp.dot(x.astype(cd), w_x.astype(cd), preferred_element_type=jnp.float32)
+        + b.astype(jnp.float32)
+    )
+    out, hn, cn, gates_act, c_seq = _lstm_recurrence_train(
+        x_proj, w_h.astype(cd), mask, h0.astype(jnp.float32),
+        c0.astype(jnp.float32),
+    )
+    residuals = (w_x, w_h, x, mask, c0, h0, out, gates_act, c_seq)
+    return (out, cn, hn), residuals
+
+
+def _lstm_core_bwd(cd, residuals, cotangents):
+    w_x, w_h, x, mask, c0, h0, out, gates_act, c_seq = residuals
+    dout, dcn, dhn = cotangents
+    T, B, H = out.shape
+
+    c_prev_seq = jnp.concatenate(
+        [c0.astype(jnp.float32)[None], c_seq[:-1]], axis=0
+    )
+    dgates, dh0, dc0 = _lstm_recurrence_bwd(
+        dout, gates_act, c_seq, c_prev_seq, mask, w_h.astype(cd), dhn, dcn
+    )
+
+    # Valid steps have contiguous-prefix masking, so out[t-1] equals the
+    # carried h_{t-1} wherever dgates[t] is nonzero; padded rows contribute
+    # zero because dgates is already masked.
+    h_prev_seq = jnp.concatenate(
+        [h0.astype(jnp.float32)[None], out[:-1]], axis=0
+    )
+    dg_c = dgates.astype(cd)
+    dw_h = jnp.einsum(
+        "tbh,tbg->hg", h_prev_seq.astype(cd), dg_c,
+        preferred_element_type=jnp.float32,
+    ).astype(w_h.dtype)
+    dw_x = jnp.einsum(
+        "tbd,tbg->dg", x.astype(cd), dg_c,
+        preferred_element_type=jnp.float32,
+    ).astype(w_x.dtype)
+    db = jnp.sum(dgates, axis=(0, 1))
+    dx = jnp.einsum(
+        "tbg,dg->tbd", dg_c, w_x.astype(cd),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return (dw_x, dw_h, db, dx, jnp.zeros_like(mask), dc0.astype(c0.dtype),
+            dh0.astype(h0.dtype))
+
+
+_lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
+
+
 def lstm_layer_pallas(
     params,
     x: jnp.ndarray,             # (T, B, D)
@@ -113,19 +367,14 @@ def lstm_layer_pallas(
     state,                      # (c, h)
     compute_dtype=jnp.float32,
 ):
-    """Drop-in replacement for lstm.lstm_layer_scan on TPU (forward only)."""
+    """Drop-in replacement for lstm.lstm_layer_scan on TPU (differentiable)."""
     T, B, _ = x.shape
-    cd = compute_dtype
-    x_proj = (
-        jnp.dot(x.astype(cd), params["w_x"].astype(cd), preferred_element_type=jnp.float32)
-        + params["b"].astype(jnp.float32)
-    )
     mask = (jnp.arange(T)[:, None] < seq_lengths[None, :]).astype(
         jnp.float32
     )[:, None, :]
     c0, h0 = state
-    out, hn, cn = lstm_recurrence_pallas(
-        x_proj, params["w_h"].astype(cd), mask,
-        h0.astype(jnp.float32), c0.astype(jnp.float32),
+    out, cn, hn = _lstm_core(
+        params["w_x"], params["w_h"], params["b"], x, mask, c0, h0,
+        compute_dtype,
     )
     return out, (cn, hn)

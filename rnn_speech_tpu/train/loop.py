@@ -101,6 +101,9 @@ def train_acoustic(
         num_labels=len(char_map),
         normalization=config.batch_normalization,
         compute_dtype=compute_dtype,
+        # The fused recurrence kernel (with its custom-VJP backward) is
+        # TPU-only; the scan path is the CPU/debug fallback.
+        use_pallas=tpu.use_pallas_lstm and jax.default_backend() != "cpu",
         remat=tpu.remat,
     )
     scfg = step_mod.StepConfig(

@@ -149,3 +149,59 @@ def test_pallas_matches_scan(setup):
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=1e-5)
+
+
+def test_pallas_grads_match_scan(setup):
+    """Custom-VJP backward kernel == autodiff through the scan recurrence,
+    for every input: weights, bias, inputs and the initial (c, h) state."""
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rnn_speech_tpu.ops import lstm_pallas
+
+    state = lstm.zero_state(1, B, H)[0]
+    # Nonzero initial state so dc0/dh0 exercise real values.
+    state = (state[0] + 0.3, state[1] - 0.2)
+    key = jax.random.PRNGKey(7)
+    wy = jax.random.normal(key, (T, B, H)) * 0.1  # random output cotangent mix
+
+    def loss(fn):
+        def inner(params, xx, st):
+            ys, (c, h) = fn(params, xx, seq_lengths, st)
+            return jnp.sum(ys * wy) + jnp.sum(c**2) + jnp.sum(jnp.abs(h))
+        return inner
+
+    ref_grads = jax.grad(loss(lstm.lstm_layer_scan), argnums=(0, 1, 2))(
+        layers[0], x, state
+    )
+    with pltpu.force_tpu_interpret_mode():
+        pal_grads = jax.grad(
+            loss(lstm_pallas.lstm_layer_pallas), argnums=(0, 1, 2)
+        )(layers[0], x, state)
+
+    for ref, pal in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(pal_grads)):
+        np.testing.assert_allclose(
+            np.asarray(pal), np.asarray(ref), atol=2e-4, rtol=1e-3
+        )
+
+
+def test_pallas_grads_masked_rows_passthrough(setup):
+    """Zero-length rows: state grads pass straight through the layer."""
+    layers, x, _, (T, B, D, H) = setup
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rnn_speech_tpu.ops import lstm_pallas
+
+    seq_lengths = jnp.array([0, T, 3])
+    state = (jnp.ones((B, H)) * 0.5, jnp.ones((B, H)) * -0.25)
+
+    def loss(params, st):
+        ys, (c, h) = lstm_pallas.lstm_layer_pallas(params, x, seq_lengths, st)
+        return jnp.sum(c) + 2.0 * jnp.sum(h)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp, gs = jax.grad(loss, argnums=(0, 1))(layers[0], state)
+    # Row 0 never updates: cn = c0, hn = h0 -> dc0 = 1, dh0 = 2 exactly.
+    np.testing.assert_allclose(np.asarray(gs[0][0]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs[1][0]), 2.0, atol=1e-6)
+    assert np.isfinite(np.asarray(gp["w_h"])).all()

@@ -41,7 +41,7 @@ class TpuConfig:
     compute_dtype: str = "bfloat16"   # matmul/activation dtype on device
     param_dtype: str = "float32"      # master copy of parameters
     use_pallas_lstm: bool = True      # fused Pallas LSTM recurrence
-    use_pallas_ctc: bool = False      # Pallas CTC (else lax.scan CTC)
+    use_pallas_ctc: bool = True       # fused CTC kernels (~45x the scan CTC)
     time_chunk: int = 0               # scan time-chunking (0 = whole seq)
     bucket_count: int = 8             # length buckets for padded batching
     prefetch_depth: int = 2           # device prefetch depth

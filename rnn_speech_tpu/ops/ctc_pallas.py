@@ -1,0 +1,278 @@
+"""Fused Pallas TPU kernels for the CTC loss (alpha/beta recursions).
+
+Same semantics as rnn_speech_tpu.ops.ctc (the lax.scan reference
+implementation, itself pinned against torch's CTC): log-space
+forward/backward over the extended-label lattice with
+``ignore_longer_outputs_than_inputs`` handling, blank = last class.  The
+scan path dispatches T tiny (B, S) updates that each round-trip the lattice
+state through HBM; here one ``pallas_call`` walks the time grid with the
+alpha (resp. beta) row resident in VMEM scratch, streaming only the (1, B, S)
+per-step label log-probs — on a v5e this is ~20x faster at the reference's
+T=3510 shapes.
+
+The posterior scatter (extended states -> vocabulary) and the softmax term
+stay outside the kernels as one big batched einsum, which is MXU work XLA
+already does well; the kernels own exactly the sequential recursions.
+
+Replaces ``tf.nn.ctc_loss`` (/root/reference/models/AcousticModel.py:357)
+on the TPU training path; numerical parity with the scan path is pinned by
+tests/test_ctc.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rnn_speech_tpu.ops.ctc import (
+    NEG_INF,
+    _log_add3,
+    _prepare,
+    _terminal_logp,
+)
+
+
+def _shift_right_lanes(x, by):
+    B = x.shape[0]
+    pad = jnp.full((B, by), NEG_INF, x.dtype)
+    return jnp.concatenate([pad, x[:, :-by]], axis=1)
+
+
+def _shift_left_lanes(x, by):
+    B = x.shape[0]
+    pad = jnp.full((B, by), NEG_INF, x.dtype)
+    return jnp.concatenate([x[:, by:], pad], axis=1)
+
+
+def _alpha_kernel(lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    lp = lp_ref[0]                                        # (B, S)
+
+    @pl.when(t == 0)
+    def _():
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
+        a_s[:] = jnp.where(s_idx < 2, lp, NEG_INF)
+
+    @pl.when(t > 0)
+    def _():
+        alpha = a_s[:]
+        a1 = _shift_right_lanes(alpha, 1)
+        a2 = jnp.where(skip_ref[:] > 0, _shift_right_lanes(alpha, 2), NEG_INF)
+        new = _log_add3(alpha, a1, a2) + lp
+        live = live_ref[0, 0][:, None]                    # (B, 1) float
+        a_s[:] = jnp.where(live > 0, new, alpha)          # freeze past T_b
+
+    alphas_ref[0] = a_s[:]
+
+    @pl.when(t == T - 1)
+    def _():
+        last_ref[:] = a_s[:]
+
+
+def _alphas_pallas(lp_ext, live, skip_ok):
+    """lp_ext (T, B, S), live (T, 1, B) float, skip_ok (B, S) float.
+    Returns (alphas (T, B, S), last (B, S))."""
+    T, B, S = lp_ext.shape
+    return pl.pallas_call(
+        _alpha_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, S), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * B * S,
+            bytes_accessed=2 * T * B * S * 4,
+            transcendentals=4 * T * B * S,
+        ),
+    )(lp_ext, live, skip_ok)
+
+
+def _beta_post_kernel(lp_next_ref, alphas_ref, islast_ref, live_ref,
+                      skipn2_ref, beta_init_ref, beta_last_ref, logp_ref,
+                      post_ref, b_s):
+    """Reverse-time step t = T-1-i: advance beta, emit the state posterior
+    exp(alpha + beta - logP) zeroed past each row's true length."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        b_s[:] = beta_last_ref[:]
+
+    @pl.when(i > 0)
+    def _():
+        term0 = b_s[:] + lp_next_ref[0]                   # beta_{t+1} + lp_{t+1}
+        b1 = _shift_left_lanes(term0, 1)
+        b2 = jnp.where(skipn2_ref[:] > 0, _shift_left_lanes(term0, 2), NEG_INF)
+        beta = _log_add3(term0, b1, b2)
+        islast = islast_ref[0, 0][:, None]                # (B, 1) float
+        b_s[:] = jnp.where(islast > 0, beta_init_ref[:], beta)
+
+    gamma = alphas_ref[0] + b_s[:] - logp_ref[:, :1]
+    live = live_ref[0, 0][:, None]
+    post_ref[0] = jnp.exp(jnp.minimum(gamma, 0.0)) * live
+
+
+def _posteriors_pallas(lp_ext, alphas, islast, live, skip_ok, beta_init,
+                       beta_last, logp):
+    """Returns the lattice-state posteriors (T, B, S)."""
+    T, B, S = lp_ext.shape
+    rev = lambda i: (T - 1 - i, 0, 0)
+    # Step i consumes lp_ext[t+1]; clamp the unused i==0 block in range.
+    rev_next = lambda i: (jnp.minimum(T - i, T - 1), 0, 0)
+    (post,) = pl.pallas_call(
+        _beta_post_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, S), rev_next, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((T, B, S), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * T * B * S,
+            bytes_accessed=3 * T * B * S * 4,
+            transcendentals=5 * T * B * S,
+        ),
+    )(lp_ext, alphas, islast, live, skip_ok, beta_init, beta_last, logp)
+    return post
+
+
+def _split_matmul(x, onehot, spec, terms=2):
+    """MXU substitute for a big gather: contract against an exact-in-bf16
+    one-hot matrix.  A (T, B, S)-shaped ``take_along_axis`` lowers to a slow
+    scatter/gather loop on TPU (~550 ms at reference shapes vs ~13 ms here).
+    DEFAULT-precision f32 matmuls round operands to bf16, so split x into
+    bf16-exact terms plus a residual: every term's product is exact except
+    the last, whose error is ~2^(-8*terms) relative (2 terms ~1e-5; 3 terms
+    is effectively f32-exact, which matters for values that a recursion
+    then accumulates over thousands of steps)."""
+    out = 0.0
+    for k in range(terms):
+        part = x.astype(jnp.bfloat16).astype(jnp.float32)
+        x = x - part
+        if k == terms - 1:
+            part = part + x                 # fold the final residual in
+        # Keep XLA's algebraic simplifier from re-associating the summed
+        # dots back into dot(hi+lo, onehot), which undoes the split.
+        part = jax.lax.optimization_barrier(part)
+        out = out + jnp.einsum(spec, part, onehot,
+                               preferred_element_type=jnp.float32)
+    return out
+
+
+def _lattice_inputs(log_probs, logit_lengths, labels, label_lengths, blank_id):
+    T, B, V = log_probs.shape
+    ext, skip_ok = _prepare(labels, blank_id, V)
+    S = ext.shape[1]
+    onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)    # (B, S, V)
+    lp_ext = _split_matmul(log_probs, onehot, "tbv,bsv->tbs", terms=3)
+    live = (
+        jnp.arange(T)[:, None] < logit_lengths[None, :]
+    ).astype(jnp.float32)[:, None, :]                     # (T, 1, B)
+    return ext, skip_ok.astype(jnp.float32), lp_ext, live
+
+
+def _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths, blank_id):
+    T, B, V = logits.shape
+    if blank_id < 0:
+        blank_id = V + blank_id
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ext, skip_f, lp_ext, live = _lattice_inputs(
+        log_probs, logit_lengths, labels, label_lengths, blank_id
+    )
+    alphas, last = _alphas_pallas(lp_ext, live, skip_f)
+    logp = _terminal_logp(last, label_lengths)
+    valid = (label_lengths <= logit_lengths) & (logit_lengths > 0)
+    loss = jnp.where(valid, -logp, 0.0)
+    residuals = (log_probs, alphas, logp, ext, skip_f, lp_ext, live,
+                 logit_lengths, label_lengths, valid)
+    return loss, residuals
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id=-1):
+    """Per-example CTC negative log-likelihood, shape (B,). Pallas-fused."""
+    loss, _ = _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths,
+                            blank_id)
+    return loss
+
+
+def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id):
+    return _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths,
+                         blank_id)
+
+
+def _ctc_bwd(blank_id, residuals, g):
+    (log_probs, alphas, logp, ext, skip_f, lp_ext, live,
+     logit_lengths, label_lengths, valid) = residuals
+    T, B, V = log_probs.shape
+    S = ext.shape[1]
+    if blank_id < 0:
+        blank_id = V + blank_id
+
+    # Terminal beta at each row's last valid frame, and at t = T-1.
+    s_idx = jnp.arange(S)[None, :]
+    end = (2 * label_lengths)[:, None]
+    beta_init = jnp.where(
+        (s_idx == end) | ((s_idx == end - 1) & (label_lengths[:, None] > 0)),
+        0.0,
+        NEG_INF,
+    )
+    beta_last = jnp.where((logit_lengths == T)[:, None], beta_init, NEG_INF)
+    islast = (
+        jnp.arange(T)[:, None] == (logit_lengths - 1)[None, :]
+    ).astype(jnp.float32)[:, None, :]                     # (T, 1, B)
+    skipn2 = jnp.concatenate(
+        [skip_f[:, 2:], jnp.zeros_like(skip_f[:, :2])], axis=1
+    )
+
+    post = _posteriors_pallas(
+        lp_ext, alphas, islast, live, skipn2, beta_init, beta_last,
+        logp[:, None],
+    )
+
+    onehot = jax.nn.one_hot(ext, V, dtype=post.dtype)     # (B, S, V)
+    label_post = _split_matmul(post, onehot, "tbs,bsv->tbv")
+    grad = jnp.exp(log_probs) - label_post
+
+    t_mask = jnp.transpose(live > 0, (0, 2, 1))           # (T, B, 1)
+    grad = jnp.where(t_mask, grad, 0.0)
+    grad = grad * jnp.where(valid, 1.0, 0.0)[None, :, None]
+    grad = grad * g[None, :, None]
+    return (grad.astype(jnp.float32), None, None, None)
+
+
+ctc_loss.defvjp(_ctc_fwd, _ctc_bwd)
+
+
+def ctc_loss_mean(logits, logit_lengths, labels, label_lengths, blank_id=-1):
+    """Reference-style mean: per-example loss / input length, then batch mean
+    (/root/reference/models/AcousticModel.py:361)."""
+    per = ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id)
+    denom = jnp.maximum(logit_lengths.astype(jnp.float32), 1.0)
+    return jnp.mean(per / denom)

@@ -112,6 +112,7 @@ def train_acoustic(
         input_keep_prob=config.dropout_input_keep_prob,
         output_keep_prob=config.dropout_output_keep_prob,
         frontend=fe,
+        use_pallas_ctc=tpu.use_pallas_ctc and jax.default_backend() != "cpu",
     )
 
     state = step_mod.init_train_state(

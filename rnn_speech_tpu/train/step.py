@@ -43,6 +43,15 @@ class StepConfig:
     output_keep_prob: float = 0.5
     frontend: Optional[Any] = None        # DeviceFrontend for raw-audio batches
     greedy_metric_max_out: int = 0        # cap decode width for the metric
+    use_pallas_ctc: bool = False          # fused CTC kernels (TPU only)
+
+
+def _ctc_loss_fn(cfg: "StepConfig"):
+    if cfg.use_pallas_ctc:
+        from rnn_speech_tpu.ops import ctc_pallas
+
+        return ctc_pallas.ctc_loss
+    return ctc.ctc_loss
 
 
 def init_train_state(
@@ -80,7 +89,7 @@ def _micro_loss(params, cfg: StepConfig, states, feats, frame_lengths,
         input_keep_prob=cfg.input_keep_prob,
         output_keep_prob=cfg.output_keep_prob,
     )
-    per_example = ctc.ctc_loss(logits, frame_lengths, labels, label_lengths)
+    per_example = _ctc_loss_fn(cfg)(logits, frame_lengths, labels, label_lengths)
     total = jnp.sum(per_example)          # grads of the SUM, like TF's Adam
     denom = jnp.maximum(frame_lengths.astype(jnp.float32), 1.0)
     mean_loss = jnp.mean(per_example / denom)
@@ -167,8 +176,8 @@ def eval_step(
         logits, _ = acoustic.forward(
             params, cfg.model, feats, frame_lengths, zero_states
         )
-        per = ctc.ctc_loss(logits, frame_lengths, micro["labels"],
-                           micro["label_lengths"])
+        per = _ctc_loss_fn(cfg)(logits, frame_lengths, micro["labels"],
+                                micro["label_lengths"])
         denom = jnp.maximum(frame_lengths.astype(jnp.float32), 1.0)
         mean_loss = jnp.mean(per / denom)
         pred, pred_len = decode.greedy_decode(

@@ -184,3 +184,58 @@ def test_mean_loss_normalizes_by_input_length(small_case):
         jnp.asarray(logits), jnp.asarray(logit_lengths),
         jnp.asarray(labels), jnp.asarray(label_lengths)))
     np.testing.assert_allclose(mean, (per / logit_lengths).mean(), rtol=1e-6)
+
+
+# ------------------------------------------------------ Pallas kernel parity
+
+def _pallas_ctc():
+    from rnn_speech_tpu.ops import ctc_pallas
+    return ctc_pallas
+
+
+def test_pallas_loss_matches_scan(small_case):
+    """Pallas alpha kernel (interpret mode) == scan CTC, incl. ragged rows."""
+    from jax.experimental.pallas import tpu as pltpu
+    ctc_pallas = _pallas_ctc()
+
+    logits, logit_lengths, labels, label_lengths, V = small_case
+    args = (jnp.asarray(logits), jnp.asarray(logit_lengths),
+            jnp.asarray(labels), jnp.asarray(label_lengths))
+    ref = ctc.ctc_loss(*args)
+    with pltpu.force_tpu_interpret_mode():
+        pal = ctc_pallas.ctc_loss(*args)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_grad_matches_scan():
+    """Pallas beta/posterior kernel == scan backward on a random batch with
+    ragged input lengths and an invalid (label > input) example."""
+    from jax.experimental.pallas import tpu as pltpu
+    ctc_pallas = _pallas_ctc()
+
+    rng = np.random.default_rng(3)
+    T, B, V, L = 12, 4, 6, 5
+    logits = jnp.asarray(rng.normal(0, 1.5, (T, B, V)).astype(np.float32))
+    logit_lengths = jnp.asarray(np.array([12, 7, 3, 12], np.int32))
+    labels = jnp.asarray(rng.integers(0, V - 1, (B, L)).astype(np.int32))
+    label_lengths = jnp.asarray(np.array([5, 3, 4, 0], np.int32))  # row 2 invalid
+
+    def total(fn, lg):
+        return jnp.sum(fn(lg, logit_lengths, labels, label_lengths)
+                       * jnp.array([1.0, 2.0, 3.0, 4.0]))
+
+    ref_loss = ctc.ctc_loss(logits, logit_lengths, labels, label_lengths)
+    ref_grad = jax.grad(lambda lg: total(ctc.ctc_loss, lg))(logits)
+    with pltpu.force_tpu_interpret_mode():
+        pal_loss = ctc_pallas.ctc_loss(logits, logit_lengths, labels,
+                                       label_lengths)
+        pal_grad = jax.grad(lambda lg: total(ctc_pallas.ctc_loss, lg))(logits)
+
+    np.testing.assert_allclose(np.asarray(pal_loss), np.asarray(ref_loss),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pal_grad), np.asarray(ref_grad),
+                               rtol=1e-4, atol=1e-5)
+    # Invalid example (labels longer than inputs): zero loss, zero grad.
+    assert float(pal_loss[2]) == 0.0
+    assert np.all(np.asarray(pal_grad)[:, 2, :] == 0.0)

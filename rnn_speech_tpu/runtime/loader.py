@@ -1,0 +1,122 @@
+"""ctypes binding to the native async audio loader.
+
+``NativeAudioLoader`` drives the C++ thread pool in
+``native/loader.cpp``: submit a list of audio paths, iterate decoded
+(float32 mono, resampled, truncated) clips back in submission order.  This
+is the native replacement for shipping decoded clips through a Python
+process pool (pickle per clip); the pipeline falls back to the process
+pool where the native library is unavailable.
+
+Delivery order is deterministic (submission order) regardless of worker
+scheduling, so training batches are reproducible across runs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from rnn_speech_tpu.runtime import audiodec
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    if getattr(lib, "_loader_bound", False):
+        return lib
+    lib.rst_loader_create.restype = ctypes.c_void_p
+    lib.rst_loader_create.argtypes = [
+        ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.rst_loader_submit.restype = ctypes.c_int
+    lib.rst_loader_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p,
+    ]
+    lib.rst_loader_close.restype = None
+    lib.rst_loader_close.argtypes = [ctypes.c_void_p]
+    lib.rst_loader_next.restype = ctypes.c_int
+    lib.rst_loader_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rst_loader_destroy.restype = None
+    lib.rst_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib._loader_bound = True
+    return lib
+
+
+def available() -> bool:
+    """True when the native runtime library is loadable."""
+    return audiodec.get_native_lib() is not None
+
+
+class NativeAudioLoader:
+    """Asynchronously decode a list of files with native worker threads.
+
+    Iterating yields ``(index, audio or None, rc)`` in submission order:
+    ``audio`` is float32 mono at ``target_rate`` truncated to
+    ``max_samples``; ``rc`` is nonzero (audio None) for undecodable files.
+    """
+
+    def __init__(
+        self,
+        paths: List[str],
+        *,
+        max_samples: int,
+        target_rate: int,
+        n_threads: int = 4,
+        capacity: int = 64,
+    ):
+        lib = audiodec.get_native_lib()
+        if lib is None:
+            raise RuntimeError("Native runtime library unavailable")
+        self._lib = _bind(lib)
+        self._max_samples = int(max_samples)
+        self._n = len(paths)
+        self._handle = self._lib.rst_loader_create(
+            int(n_threads), self._max_samples, int(target_rate), int(capacity)
+        )
+        for i, path in enumerate(paths):
+            self._lib.rst_loader_submit(self._handle, i, str(path).encode())
+        self._lib.rst_loader_close(self._handle)
+        self._buf = np.empty((self._max_samples,), np.float32)
+
+    def __iter__(self) -> Iterator[Tuple[int, Optional[np.ndarray], int]]:
+        return self
+
+    def __next__(self):
+        if self._handle is None:
+            raise StopIteration
+        index = ctypes.c_int64()
+        n = ctypes.c_int64()
+        rc = self._lib.rst_loader_next(
+            self._handle, ctypes.byref(index),
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._max_samples, ctypes.byref(n),
+        )
+        if rc == -1:
+            self.close()
+            raise StopIteration
+        if rc != 0:
+            return int(index.value), None, rc
+        return int(index.value), self._buf[: n.value].copy(), 0
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.rst_loader_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - GC safety net
+        try:
+            self.close()
+        except Exception:
+            pass

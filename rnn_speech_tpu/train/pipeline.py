@@ -49,6 +49,7 @@ class PipelineConfig:
     num_workers: int = 0              # 0 = synchronous (tests)
     prefetch_batches: int = 2
     add_eos: bool = False             # EOS id == CTC blank; see charmap notes
+    use_native_loader: bool = True    # C++ thread-pool decode when available
 
     @property
     def max_samples(self) -> int:
@@ -159,9 +160,64 @@ class InputPipeline:
 
     # ------------------------------------------------------------- iteration
 
+    def _iter_native(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Decode through the C++ async loader (rnn_speech_tpu.runtime.loader):
+        native worker threads own decode/downmix/resample/truncate, the main
+        process only encodes labels and assembles batches."""
+        from rnn_speech_tpu.runtime import loader as native_loader
+
+        cfg = self.cfg
+        need = cfg.mini_batch_size * cfg.batch_size
+        paths = [item[0] for item in self.dataset]
+        texts = [item[1] for item in self.dataset]
+        items: List[Dict] = []
+        with native_loader.NativeAudioLoader(
+            paths,
+            max_samples=cfg.max_samples,
+            target_rate=cfg.sample_rate,
+            n_threads=cfg.num_workers,
+            capacity=max(need * (cfg.prefetch_batches + 1), cfg.num_workers * 2),
+        ) as ld:
+            for idx, audio, rc in ld:
+                if rc != 0 or audio is None:
+                    logger.warning(
+                        "Skipping unreadable audio %s (native decoder rc %d)",
+                        paths[idx], rc,
+                    )
+                    continue
+                labels, label_len = self.char_map.encode_padded(
+                    texts[idx], cfg.max_target_seq_length, add_eos=cfg.add_eos
+                )
+                items.append({
+                    "audio": audio,
+                    "audio_length": len(audio),
+                    "labels": labels,
+                    "label_length": label_len,
+                })
+                if len(items) == need:
+                    yield self._assemble(items)
+                    items = []
+        if items:
+            yield self._assemble(items)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         cfg = self.cfg
         need = cfg.mini_batch_size * cfg.batch_size
+
+        if (
+            cfg.num_workers > 0
+            and cfg.on_device_frontend
+            and cfg.use_native_loader
+        ):
+            from rnn_speech_tpu.runtime import loader as native_loader
+
+            if native_loader.available():
+                yield from self._iter_native()
+                return
+            logger.warning(
+                "Native loader unavailable; using the Python process pool"
+            )
+
         tasks = [
             (path, label, cfg, self.char_map.tokens)
             for path, label, _ in self.dataset

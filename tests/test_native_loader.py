@@ -1,0 +1,153 @@
+"""Native async loader tests: parity with audio_io, ordering, errors."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rnn_speech_tpu import audio_io
+from rnn_speech_tpu.runtime import flac_enc, loader
+
+
+pytestmark = pytest.mark.skipif(
+    not loader.available(), reason="native runtime not built"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("native_loader")
+    rng = np.random.default_rng(0)
+    paths = []
+
+    pcm16 = (rng.normal(0, 0.2, 22050) * 20000).astype(np.int16)
+    wav = str(root / "a.wav")
+    audio_io.write_wav(wav, pcm16, 22050)
+    paths.append(wav)
+
+    flac = str(root / "b.flac")
+    flac_enc.encode_flac(flac, (rng.normal(0, 0.2, 16000) * 20000).astype(np.int16), 16000)
+    paths.append(flac)
+
+    # Stereo WAV exercises downmixing.
+    stereo = str(root / "c.wav")
+    audio_io.write_wav(
+        stereo, (rng.normal(0, 0.2, (8000, 2)) * 20000).astype(np.int16), 22050
+    )
+    paths.append(stereo)
+
+    # SPHERE file.
+    sph = str(root / "d.sph")
+    pcm = (rng.normal(0, 0.2, 16000) * 20000).astype(np.int16)
+    header = (
+        "NIST_1A\n    1024\n"
+        "channel_count -i 1\nsample_rate -i 22050\nsample_n_bytes -i 2\n"
+        f"sample_count -i {len(pcm)}\nsample_byte_format -s2 01\n"
+        "sample_coding -s3 pcm\nend_head\n"
+    ).encode().ljust(1024, b" ")
+    with open(sph, "wb") as fh:
+        fh.write(header + pcm.astype("<i2").tobytes())
+    paths.append(sph)
+
+    return paths
+
+
+def test_matches_python_path_no_resample(corpus):
+    """Files already at the target rate decode bit-close to audio_io.load."""
+    for path in corpus:
+        if audio_io.decode_audio(path)[1] != 22050:
+            continue
+        ref, _ = audio_io.load(path, sr=22050)
+        with loader.NativeAudioLoader(
+            [path], max_samples=1 << 20, target_rate=22050, n_threads=2
+        ) as ld:
+            _, audio, rc = next(ld)
+        assert rc == 0
+        np.testing.assert_allclose(audio, ref, atol=1e-6)
+
+
+def test_resample_close_to_python_path(corpus, tmp_path):
+    """16 kHz -> 22.05 kHz: native sinc vs scipy polyphase.
+
+    Tight agreement on bandlimited (speech-like) content; the white-noise
+    FLAC only gets a loose bound because near-Nyquist rolloff is where the
+    two filter designs legitimately differ."""
+    t = np.arange(16000) / 16000.0
+    tone = sum(np.sin(2 * np.pi * f * t + f) for f in (220.0, 880.0, 2500.0))
+    wav = str(tmp_path / "tone.wav")
+    audio_io.write_wav(wav, (tone / 4.0).astype(np.float32), 16000)
+    ref, _ = audio_io.load(wav, sr=22050)
+    with loader.NativeAudioLoader(
+        [wav], max_samples=1 << 20, target_rate=22050, n_threads=1
+    ) as ld:
+        _, audio, rc = next(ld)
+    assert rc == 0
+    n = min(len(audio), len(ref))
+    assert abs(len(audio) - len(ref)) <= 2
+    core = slice(200, n - 200)   # ignore filter edge effects
+    err = np.abs(audio[core] - ref[core])
+    assert err.max() < 5e-3 and err.mean() < 1e-3
+
+    flac = [p for p in corpus if p.endswith(".flac")][0]
+    ref, _ = audio_io.load(flac, sr=22050)
+    with loader.NativeAudioLoader(
+        [flac], max_samples=1 << 20, target_rate=22050, n_threads=1
+    ) as ld:
+        _, audio, rc = next(ld)
+    n = min(len(audio), len(ref))
+    err = np.abs(audio[200 : n - 200] - ref[200 : n - 200])
+    assert err.max() < 5e-2 and err.mean() < 1e-2
+
+
+def test_order_and_truncation(corpus):
+    order = corpus[::-1]
+    with loader.NativeAudioLoader(
+        order, max_samples=1000, target_rate=22050, n_threads=3, capacity=2
+    ) as ld:
+        got = list(ld)
+    assert [i for i, _, _ in got] == list(range(len(order)))
+    assert all(rc == 0 for _, _, rc in got)
+    assert all(len(a) <= 1000 for _, a, _ in got)
+
+
+def test_bad_file_reports_nonzero_rc(corpus, tmp_path):
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as fh:
+        fh.write(b"RIFFgarbage")
+    missing = str(tmp_path / "missing.flac")
+    with loader.NativeAudioLoader(
+        [corpus[0], bad, missing], max_samples=1 << 20, target_rate=22050,
+        n_threads=2,
+    ) as ld:
+        results = list(ld)
+    assert results[0][2] == 0
+    assert results[1][2] != 0 and results[1][1] is None
+    assert results[2][2] != 0
+
+
+def test_pipeline_native_equals_sync(corpus):
+    """Batches from the native-loader pipeline == synchronous pipeline."""
+    from rnn_speech_tpu.models.recognizer import SpeechRecognizer
+    from rnn_speech_tpu.train import pipeline as pipe_mod
+
+    char_map = SpeechRecognizer("english").get_char_map()
+    dataset = [[p, "hello world", 1.0] for p in corpus]
+    base = dict(
+        batch_size=2, mini_batch_size=2, max_input_seq_length=120,
+        max_target_seq_length=20, signal_processing="fbank",
+    )
+    sync_cfg = pipe_mod.PipelineConfig(**base, num_workers=0)
+    native_cfg = pipe_mod.PipelineConfig(**base, num_workers=2,
+                                         use_native_loader=True)
+    sync_batches = list(pipe_mod.InputPipeline(dataset, char_map, sync_cfg))
+    native_batches = list(pipe_mod.InputPipeline(dataset, char_map, native_cfg))
+    assert len(sync_batches) == len(native_batches)
+    for sb, nb in zip(sync_batches, native_batches):
+        assert sorted(sb.keys()) == sorted(nb.keys())
+        np.testing.assert_array_equal(sb["labels"], nb["labels"])
+        np.testing.assert_array_equal(sb["label_lengths"], nb["label_lengths"])
+        # Audio equal where no resampling happened; close elsewhere.
+        assert sb["audio"].shape == nb["audio"].shape
+        np.testing.assert_allclose(
+            sb["audio_lengths"], nb["audio_lengths"], atol=2
+        )

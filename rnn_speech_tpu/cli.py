@@ -198,11 +198,21 @@ def train_language(config, prog, char_map) -> int:
     from rnn_speech_tpu.train import checkpoint as ckpt
     from rnn_speech_tpu.train import optim
 
-    # Language training corpus: transcript labels of the acoustic train set
-    # if configured, else a built-in smoke corpus (the reference hardcoded 4
+    lm_cfg_params = config.lm_resolved()
+
+    # Language training corpus, in priority order: a text-corpus file
+    # ([lm_network_params] text_corpus, one sentence per line — see
+    # tools/setup_text_corpus.py), the transcript labels of the acoustic
+    # train set, or a built-in smoke corpus (the reference hardcoded 4
     # sentences and never ran a loop, stt.py:134-138 — we train for real).
     texts = []
-    if config.training_dataset_dirs:
+    if lm_cfg_params.text_corpus:
+        try:
+            with open(lm_cfg_params.text_corpus) as fh:
+                texts = [line.strip() for line in fh if line.strip()]
+        except OSError as exc:
+            logger.warning("Cannot read text corpus (%s); falling back", exc)
+    if not texts and config.training_dataset_dirs:
         try:
             from rnn_speech_tpu.models.recognizer import SpeechRecognizer
 
@@ -218,20 +228,21 @@ def train_language(config, prog, char_map) -> int:
                  "the white big horse", "the yellow small cat"]
 
     cfg = language.LanguageConfig(
-        num_layers=config.num_layers, hidden_size=config.hidden_size,
+        num_layers=lm_cfg_params.num_layers,
+        hidden_size=lm_cfg_params.hidden_size,
         num_labels=len(char_map),
     )
     params = language.init_params(jax.random.PRNGKey(0), cfg)
     ckpt_dir = config.checkpoint_dir + "/language/"
     restored = ckpt.restore(ckpt_dir, params)
-    step0, lr = 0, config.learning_rate
+    step0, lr = 0, lm_cfg_params.learning_rate
     if restored is not None:
         params, step0, lr = restored
     if prog["learn_rate"] is not None:
         lr = prog["learn_rate"]
 
     # Pack texts into fixed-length id batches.
-    T, B = min(config.max_target_seq_length, 128), config.batch_size
+    T, B = min(config.max_target_seq_length, 128), lm_cfg_params.batch_size
     ids_list = [char_map.encode(t, add_eos=True)[:T] for t in texts]
     opt_state = optim.init_adam(params)
 
@@ -241,12 +252,12 @@ def train_language(config, prog, char_map) -> int:
             return language.next_char_loss(
                 p, cfg, chars, lengths, language.zero_state(cfg, B),
                 dropout_rng=rng,
-                input_keep_prob=config.dropout_input_keep_prob,
-                output_keep_prob=config.dropout_output_keep_prob,
+                input_keep_prob=lm_cfg_params.dropout_keep_prob,
+                output_keep_prob=lm_cfg_params.dropout_keep_prob,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads, _ = optim.clip_by_global_norm(grads, config.grad_clip)
+        grads, _ = optim.clip_by_global_norm(grads, lm_cfg_params.grad_clip)
         params, opt_state = optim.adam_update(params, grads, opt_state, lr)
         return params, opt_state, loss
 
@@ -430,8 +441,10 @@ def generate_text(config, prog, char_map) -> int:
     from rnn_speech_tpu.models import language
     from rnn_speech_tpu.train import checkpoint as ckpt
 
+    lm_cfg_params = config.lm_resolved()
     cfg = language.LanguageConfig(
-        num_layers=config.num_layers, hidden_size=config.hidden_size,
+        num_layers=lm_cfg_params.num_layers,
+        hidden_size=lm_cfg_params.hidden_size,
         num_labels=len(char_map),
     )
     params = language.init_params(jax.random.PRNGKey(0), cfg)

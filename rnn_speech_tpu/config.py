@@ -49,6 +49,22 @@ class TpuConfig:
 
 
 @dataclass(frozen=True)
+class LmConfig:
+    """[lm_network_params] — the reference declares this section in its
+    config.ini (:41-48) but never reads it; here it actually drives the
+    char-LM.  ``None`` fields inherit the acoustic value at use time."""
+
+    num_layers: Optional[int] = None
+    hidden_size: Optional[int] = None
+    dropout_keep_prob: float = 0.9    # the reference's single `dropout` key
+    batch_size: Optional[int] = None
+    learning_rate: Optional[float] = None
+    lr_decay_factor: Optional[float] = None
+    grad_clip: Optional[float] = None
+    text_corpus: Optional[str] = None  # line-per-sentence training text file
+
+
+@dataclass(frozen=True)
 class Config:
     """Flat hyperparameter set, mirroring the reference's ~25 keys."""
 
@@ -83,10 +99,26 @@ class Config:
     # [logging]
     log_file: Optional[str] = None
     log_level: str = "WARNING"
+    # [lm_network_params]
+    lm: LmConfig = field(default_factory=LmConfig)
     # [tpu]
     tpu: TpuConfig = field(default_factory=TpuConfig)
 
     # -------------------------------------------------------------- helpers
+
+    def lm_resolved(self) -> "LmConfig":
+        """LM params with None fields filled from the acoustic section."""
+        lm = self.lm
+        return LmConfig(
+            num_layers=lm.num_layers or self.num_layers,
+            hidden_size=lm.hidden_size or self.hidden_size,
+            dropout_keep_prob=lm.dropout_keep_prob,
+            batch_size=lm.batch_size or self.batch_size,
+            learning_rate=lm.learning_rate or self.learning_rate,
+            lr_decay_factor=lm.lr_decay_factor or self.lr_decay_factor,
+            grad_clip=lm.grad_clip or self.grad_clip,
+            text_corpus=lm.text_corpus,
+        )
 
     @property
     def input_dim(self) -> int:
@@ -107,10 +139,13 @@ class Config:
     def from_dict(d: dict) -> "Config":
         d = dict(d)
         tpu = d.pop("tpu", {})
-        known = {f.name for f in dataclasses.fields(Config)} - {"tpu"}
+        lm = d.pop("lm", {})
+        known = {f.name for f in dataclasses.fields(Config)} - {"tpu", "lm"}
         tknown = {f.name for f in dataclasses.fields(TpuConfig)}
+        lknown = {f.name for f in dataclasses.fields(LmConfig)}
         return Config(
             **{k: v for k, v in d.items() if k in known},
+            lm=LmConfig(**{k: v for k, v in lm.items() if k in lknown}),
             tpu=TpuConfig(**{k: v for k, v in tpu.items() if k in tknown}),
         )
 
@@ -146,6 +181,24 @@ def load_config(config_file: str) -> Config:
                 else:
                     tpu_kwargs[f.name] = cp.get("tpu", f.name)
 
+    lm_kwargs = {}
+    lm_sec = "lm_network_params"
+    if cp.has_section(lm_sec):
+        for key, conv in (
+            ("num_layers", cp.getint),
+            ("hidden_size", cp.getint),
+            ("batch_size", cp.getint),
+            ("learning_rate", cp.getfloat),
+            ("lr_decay_factor", cp.getfloat),
+            ("grad_clip", cp.getfloat),
+        ):
+            if cp.has_option(lm_sec, key):
+                lm_kwargs[key] = conv(lm_sec, key)
+        if cp.has_option(lm_sec, "dropout"):  # reference's key name
+            lm_kwargs["dropout_keep_prob"] = cp.getfloat(lm_sec, "dropout")
+        if cp.has_option(lm_sec, "text_corpus"):
+            lm_kwargs["text_corpus"] = cp.get(lm_sec, "text_corpus")
+
     return Config(
         num_layers=cp.getint(ac, "num_layers"),
         hidden_size=cp.getint(ac, "hidden_size"),
@@ -176,6 +229,7 @@ def load_config(config_file: str) -> Config:
         dataset_size_ordering=cp.get(tr, "dataset_size_ordering", fallback="False"),
         log_file=opt_get(lo, "log_file"),
         log_level=cp.get(lo, "log_level", fallback="WARNING"),
+        lm=LmConfig(**lm_kwargs),
         tpu=TpuConfig(**tpu_kwargs),
     )
 

@@ -141,3 +141,43 @@ def test_cli_subprocess_smoke(workdir):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "Resulting CER" in proc.stdout
+
+
+def test_train_language_from_text_corpus(workdir, capsys, tmp_path):
+    """LM trains from a [lm_network_params] text_corpus file with its own
+    architecture, and tools/setup_text_corpus.py builds that file."""
+    root, cfg_path = workdir
+    corpus_file = tmp_path / "lm_corpus.txt"
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "setup_text_corpus.py")
+    proc = subprocess.run(
+        [sys.executable, tool, "--from-datasets", str(root / "corpus"),
+         "--output", str(corpus_file)],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = corpus_file.read_text().strip().splitlines()
+    assert len(lines) == 4
+
+    cfg2 = tmp_path / "config_lm.ini"
+    cfg2.write_text(
+        open(cfg_path).read().replace(
+            f"checkpoint_dir : {root}/ckpt",
+            f"checkpoint_dir : {tmp_path}/ckpt",
+        )
+        + f"\n[lm_network_params]\nnum_layers : 2\nhidden_size : 16\n"
+          f"batch_size : 2\ntext_corpus : {corpus_file}\n"
+    )
+    rc = main(["--train_language", "--config", str(cfg2), "--max_steps", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Language model trained" in out
+    # The checkpoint reflects the LM section's architecture (2x16).
+    import numpy as np
+    from rnn_speech_tpu.train import checkpoint as ckpt
+    path = ckpt.latest_path(str(tmp_path / "ckpt") + "/language/")
+    flat = np.load(path)
+    gate_shapes = [flat[k].shape for k in flat.files if "w_h" in k]
+    assert all(s == (16, 64) for s in gate_shapes) and len(gate_shapes) == 2

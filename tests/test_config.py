@@ -125,3 +125,30 @@ def test_store_structural_change_restores_old(ini_path):
 def test_config_dict_roundtrip():
     cfg = Config(num_layers=7, hidden_size=512)
     assert Config.from_dict(cfg.to_dict()) == cfg
+
+
+def test_lm_section(tmp_path):
+    path = tmp_path / "config.ini"
+    path.write_text(
+        INI.format(ckpt=tmp_path / "ckpt")
+        + "\n[lm_network_params]\nnum_layers : 3\nhidden_size : 34\n"
+        "dropout : 0.9\nbatch_size : 1\nlearning_rate : 1e-5\n"
+        "lr_decay_factor : 0.97\ngrad_clip : 5\ntext_corpus : data/lm.txt\n"
+    )
+    cfg = load_config(str(path))
+    assert cfg.lm.num_layers == 3 and cfg.lm.hidden_size == 34
+    assert cfg.lm.dropout_keep_prob == 0.9
+    assert cfg.lm.learning_rate == 1e-5
+    assert cfg.lm.text_corpus == "data/lm.txt"
+    resolved = cfg.lm_resolved()
+    assert resolved.num_layers == 3           # explicit LM value wins
+    assert resolved.grad_clip == 5.0
+
+
+def test_lm_section_inherits_acoustic(ini_path):
+    cfg = load_config(ini_path)
+    resolved = cfg.lm_resolved()
+    assert resolved.num_layers == cfg.num_layers
+    assert resolved.hidden_size == cfg.hidden_size
+    assert resolved.learning_rate == cfg.learning_rate
+    assert resolved.batch_size == cfg.batch_size

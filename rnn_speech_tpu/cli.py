@@ -50,6 +50,21 @@ def _enable_compilation_cache() -> None:
 
 def main(argv=None) -> int:
     prog = parse_args(argv)
+
+    # Honor JAX_PLATFORMS even under platform plugins that ignore the env
+    # var (e.g. tunneled TPU backends): pin it through the config API before
+    # any backend-initializing call.  Enables CPU runs with a virtual device
+    # mesh: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backend already initialized; leave it alone
+
     from rnn_speech_tpu.config import HyperParamStore, load_config, setup_logging
 
     config = load_config(prog["config_file"])

@@ -7,18 +7,35 @@ Data-parallel layout (the scaling plan from SURVEY §2c):
     matrices' 4H output dim and the projection matrices, which shard over
     the "model" axis when mesh_model > 1.
 
-With these in/out shardings on ``jax.jit``, XLA GSPMD inserts the gradient
-all-reduce (psum over "data") and any model-axis collectives — no explicit
-communication code, which is exactly the TPU-idiomatic arrangement (the
-collectives ride ICI inside a slice).
+Two step constructions:
+
+  * **Pure data parallel** (mesh_model == 1, the production path):
+    ``shard_map`` over the "data" axis — each device runs the microbatch
+    gradient accumulation on its batch shard (so the fused Pallas kernels
+    run unmodified per device), then one explicit ``psum`` over ICI merges
+    gradients and metrics and every device applies the identical Adam
+    update to its replicated parameters.  This is the classic DP recipe:
+    the only communication is one gradient all-reduce per step.
+
+  * **Model-axis sharding** (mesh_model > 1): ``jax.jit`` with GSPMD in/out
+    shardings — XLA inserts the model-axis collectives for the sharded gate
+    matmuls and the data-axis gradient psum.  Pallas kernels carry no GSPMD
+    partitioning rules, so this path drops to the scan recurrence/CTC
+    (correct everywhere, slower per chip).
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Dict, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from rnn_speech_tpu.train import step as step_mod
 
@@ -34,31 +51,97 @@ def _param_spec(path_key: str, shape, model_axis: bool) -> P:
     return P()
 
 
-def state_shardings(mesh: Mesh, state: step_mod.TrainState):
-    """Sharding pytree matching a TrainState."""
-    model_axis = mesh.shape.get("model", 1) > 1
+def _state_spec_tree(state: step_mod.TrainState, model_axis: bool):
+    """PartitionSpec pytree matching a TrainState."""
 
     def spec_for(path, leaf):
         keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
         top = keys[0] if keys else ""
         if top == "states":
-            return NamedSharding(mesh, P("data", None))
+            return P("data", None)
         if top in ("params", "opt"):
             if top == "opt" and keys[-1] == "t":
-                return NamedSharding(mesh, P())
-            return NamedSharding(mesh, _param_spec(keys[-1], leaf.shape, model_axis))
-        return NamedSharding(mesh, P())
+                return P()
+            return _param_spec(keys[-1], leaf.shape, model_axis)
+        return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, state)
 
 
-def batch_shardings(mesh: Mesh, batch: Dict[str, Any]):
+def state_shardings(mesh: Mesh, state: step_mod.TrainState):
+    """NamedSharding pytree matching a TrainState."""
+    model_axis = mesh.shape.get("model", 1) > 1
+    specs = _state_spec_tree(state, model_axis)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def batch_specs(batch: Dict[str, Any]):
     """Batch tensors (MB, B, ...): shard B over the data axis."""
-    out = {}
-    for key, value in batch.items():
-        spec = [None, "data"] + [None] * (value.ndim - 2)
-        out[key] = NamedSharding(mesh, P(*spec))
-    return out
+    return {
+        key: P(*([None, "data"] + [None] * (value.ndim - 2)))
+        for key, value in batch.items()
+    }
+
+
+def batch_shardings(mesh: Mesh, batch: Dict[str, Any]):
+    return {
+        key: NamedSharding(mesh, spec)
+        for key, spec in batch_specs(batch).items()
+    }
+
+
+# ------------------------------------------------------- shard_map DP path
+
+def _make_shard_map_fns(mesh: Mesh, state: step_mod.TrainState):
+    state_spec = _state_spec_tree(state, model_axis=False)
+    metric_spec = {"mean_loss": P(), "mean_error_rate": P(), "grad_norm": P()}
+
+    def train_step_sm(scfg, state, batch, rng, reset_state):
+        def body(state, batch, rng, reset_state):
+            # Decorrelate dropout across batch shards.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            states, grads, loss, err = step_mod.accumulate_grads(
+                scfg, state["params"], state["states"], batch, rng,
+                axis_name="data",
+            )
+            grads = jax.lax.psum(grads, "data")       # THE gradient all-reduce
+            loss = jax.lax.pmean(loss, "data")
+            err = jax.lax.pmean(err, "data")
+            return step_mod.apply_grads(
+                scfg, state, states, grads, loss, err, reset_state
+            )
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(state_spec, batch_specs(batch), P(), P()),
+            out_specs=(state_spec, metric_spec),
+        )(state, batch, rng, reset_state)
+
+    def eval_step_sm(scfg, state, batch):
+        def body(state, batch):
+            m = step_mod.eval_step(scfg, state, batch, axis_name="data")
+            return {k: jax.lax.pmean(v, "data") for k, v in m.items()}
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(state_spec, batch_specs(batch)),
+            out_specs={"mean_loss": P(), "mean_error_rate": P()},
+        )(state, batch)
+
+    train_fn = jax.jit(train_step_sm, static_argnums=0, donate_argnums=(1,))
+    eval_fn = jax.jit(eval_step_sm, static_argnums=0)
+    return train_fn, eval_fn
+
+
+# ------------------------------------------------------------ construction
+
+def _without_pallas(scfg: step_mod.StepConfig) -> step_mod.StepConfig:
+    return dataclasses.replace(
+        scfg,
+        model=dataclasses.replace(scfg.model, use_pallas=False),
+        use_pallas_ctc=False,
+    )
 
 
 def make_sharded_step(
@@ -69,18 +152,30 @@ def make_sharded_step(
     """Returns (sharded_state, put_batch, train_fn, eval_fn)."""
     s_shard = state_shardings(mesh, state)
     state = jax.device_put(state, s_shard)
-    repl = NamedSharding(mesh, P())
 
-    train_fn = jax.jit(
+    def put_batch(batch):
+        return jax.device_put(dict(batch), batch_shardings(mesh, batch))
+
+    if mesh.shape.get("model", 1) <= 1:
+        train_fn, eval_fn = _make_shard_map_fns(mesh, state)
+        return state, put_batch, train_fn, eval_fn
+
+    # GSPMD path: model-axis sharding of the gate matmuls; Pallas kernels
+    # have no partitioning rules under GSPMD, so use the scan paths.
+    repl = NamedSharding(mesh, P())
+    train_jit = jax.jit(
         step_mod.train_step,
         static_argnums=0,
         donate_argnums=(1,),
         out_shardings=(s_shard, {"mean_loss": repl, "mean_error_rate": repl,
                                  "grad_norm": repl}),
     )
-    eval_fn = jax.jit(step_mod.eval_step, static_argnums=0)
+    eval_jit = jax.jit(step_mod.eval_step, static_argnums=0)
 
-    def put_batch(batch):
-        return jax.device_put(dict(batch), batch_shardings(mesh, batch))
+    def train_fn(scfg, *args):
+        return train_jit(_without_pallas(scfg), *args)
+
+    def eval_fn(scfg, *args):
+        return eval_jit(_without_pallas(scfg), *args)
 
     return state, put_batch, train_fn, eval_fn

@@ -96,15 +96,30 @@ def _micro_loss(params, cfg: StepConfig, states, feats, frame_lengths,
     return total, (mean_loss, logits, new_states)
 
 
-def train_step(
+def accumulate_grads(
     cfg: StepConfig,
-    state: TrainState,
-    batch: Dict[str, jnp.ndarray],   # leading axis = microbatches (MB, B, ...)
+    params,
+    states,
+    batch: Dict[str, jnp.ndarray],   # (MB, B, ...) microbatches
     rng: jax.Array,
-    reset_state: jnp.ndarray,        # bool scalar: zero recurrent state after
-) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    params = state["params"]
+    axis_name: Optional[str] = None,
+):
+    """Scan the microbatches: summed grads + metrics + threaded state.
+
+    This is the per-device half of a train step — under ``shard_map`` each
+    device runs it on its batch shard (pass ``axis_name`` so the scan
+    carries are typed as device-varying) and the results are psum-combined
+    before ``apply_grads``."""
     grad_zero = jax.tree.map(jnp.zeros_like, params)
+    zero = jnp.zeros((), jnp.float32)
+    if axis_name is not None:
+        pcast = getattr(jax.lax, "pcast", None)
+        if pcast is not None:
+            vary = lambda x: pcast(x, axis_name, to="varying")
+        else:  # older spelling
+            vary = lambda x: jax.lax.pvary(x, axis_name)
+        grad_zero = jax.tree.map(vary, grad_zero)
+        zero = vary(zero)
 
     def micro_body(carry, micro):
         states, grad_acc, loss_acc, err_acc, mrng = carry
@@ -129,10 +144,23 @@ def train_step(
         return (new_states, grad_acc, loss_acc + mean_loss, err_acc + err, mrng), None
 
     (states, grad_sum, loss_sum, err_sum, _), _ = jax.lax.scan(
-        micro_body, (state["states"], grad_zero, 0.0, 0.0, rng), batch
+        micro_body, (states, grad_zero, zero, zero, rng), batch
     )
     num_micro = jax.tree.leaves(batch)[0].shape[0]
+    return states, grad_sum, loss_sum / num_micro, err_sum / num_micro
 
+
+def apply_grads(
+    cfg: StepConfig,
+    state: TrainState,
+    states,                          # recurrent states after the batch
+    grad_sum,
+    mean_loss: jnp.ndarray,
+    mean_err: jnp.ndarray,
+    reset_state: jnp.ndarray,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Clip + Adam + state-reset half of a train step (replicated under DP)."""
+    params = state["params"]
     clipped, grad_norm = optim.clip_by_global_norm(grad_sum, cfg.grad_clip)
     new_params, new_opt = optim.adam_update(
         params, clipped, state["opt"], state["lr"]
@@ -152,23 +180,48 @@ def train_step(
         "lr": state["lr"],
     }
     metrics = {
-        "mean_loss": loss_sum / num_micro,
-        "mean_error_rate": err_sum / num_micro,
+        "mean_loss": mean_loss,
+        "mean_error_rate": mean_err,
         "grad_norm": grad_norm,
     }
     return new_state, metrics
+
+
+def train_step(
+    cfg: StepConfig,
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],   # leading axis = microbatches (MB, B, ...)
+    rng: jax.Array,
+    reset_state: jnp.ndarray,        # bool scalar: zero recurrent state after
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    states, grad_sum, mean_loss, mean_err = accumulate_grads(
+        cfg, state["params"], state["states"], batch, rng
+    )
+    return apply_grads(
+        cfg, state, states, grad_sum, mean_loss, mean_err, reset_state
+    )
 
 
 def eval_step(
     cfg: StepConfig,
     state: TrainState,
     batch: Dict[str, jnp.ndarray],   # (MB, B, ...) like train batches
+    axis_name: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Loss + greedy error rate over a batch, no dropout, fresh zero state
     per batch (the reference always reset state in evaluation mode)."""
     params = state["params"]
     B = jax.tree.leaves(batch)[0].shape[1]
     zero_states = acoustic.zero_state(cfg.model, B)
+    zero = jnp.zeros((), jnp.float32)
+    if axis_name is not None:
+        pcast = getattr(jax.lax, "pcast", None)
+        if pcast is not None:
+            vary = lambda x: pcast(x, axis_name, to="varying")
+        else:  # older spelling
+            vary = lambda x: jax.lax.pvary(x, axis_name)
+        zero_states = jax.tree.map(vary, zero_states)
+        zero = vary(zero)
 
     def micro_body(carry, micro):
         loss_acc, err_acc = carry
@@ -188,7 +241,7 @@ def eval_step(
         )
         return (loss_acc + mean_loss, err_acc + err), None
 
-    (loss_sum, err_sum), _ = jax.lax.scan(micro_body, (0.0, 0.0), batch)
+    (loss_sum, err_sum), _ = jax.lax.scan(micro_body, (zero, zero), batch)
     num_micro = jax.tree.leaves(batch)[0].shape[0]
     return {
         "mean_loss": loss_sum / num_micro,

@@ -7,14 +7,22 @@ with static shapes, fully batched, and jit-compatible so they can run
 inside the eval step on device.
 
 Beam search design (prefix beam search, Graves 2006 formulation):
-  * Beam state is (hash, last-char, p_blank, p_nonblank) per beam — the
-    prefix itself is NOT materialized per candidate.  Each step emits a
-    (parent, appended-char) record into a trellis; prefixes are rebuilt by a
-    reverse scan at the end.  This keeps the per-step working set at
-    (B, K*(V+1)) scalars instead of (B, K*(V+1), U) prefix tensors.
-  * Equal prefixes across beams are merged exactly: candidates are sorted
-    by rolling prefix hash and their probabilities combined with a
-    segmented log-sum-exp (associative scan), then top-K selected.
+  * Beam state is (hash, parent-hash, last-char, p_blank, p_nonblank) per
+    beam — the prefix itself is NOT materialized per candidate.  Each step
+    emits a (parent, appended-char) record into a trellis; prefixes are
+    rebuilt by a reverse scan at the end.  This keeps the per-step working
+    set at (B, K*(V+1)) scalars instead of (B, K*(V+1), U) prefix tensors.
+  * Equal prefixes are merged exactly and cheaply by structure: among the
+    stay/extend candidate set, the only possible duplicate is
+    ``stay(i) == extend(j, last_i)`` with ``prefix_j == parent(prefix_i)``,
+    so carrying each beam's parent-prefix hash reduces merging to a (K, K)
+    identity match — no candidate sort needed.
+  * TPU-hostile ops are banned from the hot scan: no gathers
+    (``take_along_axis`` costs ~0.5 ms per call inside a scan on real
+    hardware) and no scatters.  All selection is one-hot masking +
+    reductions, which is exact for both the int32 hashes and the float
+    probabilities; the final left-compaction is a co-sort (see
+    ``_left_compact``).
   * Frames past an example's true length freeze the beam state, so one
     compiled program handles ragged batches.
 """
@@ -30,6 +38,28 @@ import numpy as np
 NEG_INF = -1.0e30
 _HASH_MULT = np.uint32(1000003)
 _HASH_MULT2 = np.uint32(8191)
+
+
+def _left_compact(chars: jnp.ndarray, keep: jnp.ndarray, U: int):
+    """Left-compact kept symbols along the leading time axis.
+
+    ``chars``/``keep`` are (T, ...); returns (out (..., U) padded with -1,
+    lengths (...,)).  Compaction is a stable co-sort on the kept-slot index
+    (dropped entries get sentinel T, sorting last) — a scatter would express
+    this more directly but lowers to a serial loop on TPU, which made beam
+    decoding ~1000x slower than the beam search itself.
+    """
+    T = chars.shape[0]
+    pos = jnp.cumsum(keep, axis=0) - 1                       # output slot per t
+    slot = jnp.where(keep, pos, T).astype(jnp.int32)
+    # (T, ...) -> (..., T), sort along T by slot, take the first U.
+    perm = tuple(range(1, chars.ndim)) + (0,)
+    key = jnp.transpose(slot, perm)
+    val = jnp.transpose(jnp.where(keep, chars, -1), perm)
+    key_sorted, val_sorted = jax.lax.sort((key, val), num_keys=1)
+    out = jnp.where(key_sorted[..., :U] < T, val_sorted[..., :U], -1)
+    lengths = jnp.minimum(jnp.sum(keep, axis=0), U).astype(jnp.int32)
+    return out, lengths
 
 
 def greedy_decode(
@@ -51,55 +81,25 @@ def greedy_decode(
     prev = jnp.concatenate([jnp.full((1, B), -1, jnp.int32), best[:-1]], axis=0)
     valid = jnp.arange(T)[:, None] < logit_lengths[None, :]
     keep = valid & (best != blank_id) & (best != prev)       # (T, B)
-
-    # Left-compact kept symbols into fixed-width rows.
-    pos = jnp.cumsum(keep, axis=0) - 1                       # output slot per t
-    out = jnp.full((B, U), -1, jnp.int32)
-    t_idx = jnp.broadcast_to(jnp.arange(T)[:, None], (T, B))
-    b_idx = jnp.broadcast_to(jnp.arange(B)[None, :], (T, B))
-    slot = jnp.where(keep, pos, U)                           # dump masked to U
-    out = jnp.pad(out, ((0, 0), (0, 1)))                     # overflow column
-    out = out.at[b_idx.ravel(), jnp.clip(slot, 0, U).ravel()].set(
-        jnp.where(keep, best, -1).ravel(), mode="drop"
-    )
-    out = out[:, :U]
-    lengths = jnp.minimum(jnp.sum(keep, axis=0), U).astype(jnp.int32)
-    return out, lengths
+    return _left_compact(best, keep, U)
 
 
 class BeamState(NamedTuple):
-    hash: jnp.ndarray      # (B, K) uint32 prefix identity (primary)
-    hash2: jnp.ndarray     # (B, K) uint32 prefix identity (secondary)
+    hash: jnp.ndarray      # (B, K) int32 prefix identity (primary)
+    hash2: jnp.ndarray     # (B, K) int32 prefix identity (secondary)
+    phash: jnp.ndarray     # (B, K) int32 parent-prefix identity (primary)
+    phash2: jnp.ndarray    # (B, K) int32 parent-prefix identity (secondary)
+    has_par: jnp.ndarray   # (B, K) bool: prefix is nonempty (parent exists)
     last: jnp.ndarray      # (B, K) int32 last char (blank if empty)
     p_b: jnp.ndarray       # (B, K) log P(prefix, ending in blank)
     p_nb: jnp.ndarray      # (B, K) log P(prefix, ending in non-blank)
 
 
-def _segmented_logsumexp_pair(same_as_prev, pb, pnb):
-    """Merge consecutive equal-key runs via a segmented associative scan.
-
-    ``same_as_prev[i]`` marks element i as belonging to the same run as
-    i-1.  Run totals accumulate at each run's last element; callers discard
-    non-tail elements.  Standard segmented-scan trick: carry (value, flag)
-    where flag means "a segment boundary was crossed inside this span".
-    """
-    seg_start = ~same_as_prev
-
-    def combine(a, b):
-        a_pb, a_pnb, a_flag = a
-        b_pb, b_pnb, b_flag = b
-        pb_out = jnp.where(b_flag, b_pb, jnp.logaddexp(a_pb, b_pb))
-        pnb_out = jnp.where(b_flag, b_pnb, jnp.logaddexp(a_pnb, b_pnb))
-        return pb_out, pnb_out, a_flag | b_flag
-
-    pb_acc, pnb_acc, _ = jax.lax.associative_scan(
-        combine, (pb, pnb, seg_start), axis=-1
-    )
-    is_tail = jnp.concatenate(
-        [~same_as_prev[..., 1:],
-         jnp.ones_like(same_as_prev[..., :1])], axis=-1
-    )
-    return pb_acc, pnb_acc, is_tail
+def _select_rows(field: jnp.ndarray, sel: jnp.ndarray):
+    """Gather-free row selection: ``field[b, idx[b, k]]`` where ``sel`` is
+    the one-hot bool mask (B, K_out, N) of idx.  Exact for ints and floats
+    (exactly one True per row; where+sum never mixes values)."""
+    return jnp.sum(jnp.where(sel, field[:, None, :], 0), axis=-1)
 
 
 def beam_search_decode(
@@ -119,8 +119,11 @@ def beam_search_decode(
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
     init = BeamState(
-        hash=jnp.zeros((B, K), jnp.uint32),
-        hash2=jnp.zeros((B, K), jnp.uint32),
+        hash=jnp.zeros((B, K), jnp.int32),
+        hash2=jnp.zeros((B, K), jnp.int32),
+        phash=jnp.zeros((B, K), jnp.int32),
+        phash2=jnp.zeros((B, K), jnp.int32),
+        has_par=jnp.zeros((B, K), bool),
         last=jnp.full((B, K), blank_id, jnp.int32),
         p_b=jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF)
         * jnp.ones((B, 1)),
@@ -128,95 +131,97 @@ def beam_search_decode(
     )
 
     chars = jnp.arange(V, dtype=jnp.int32)
+    mult1 = np.int32(_HASH_MULT)
+    mult2 = np.int32(_HASH_MULT2)
+    C = K * (V + 1)
+    arange_c = jnp.arange(C, dtype=jnp.int32)
+    arange_k = jnp.arange(K, dtype=jnp.int32)
 
     def step(state, inp):
         lp_t, t = inp                                   # lp_t: (B, V)
         total = jnp.logaddexp(state.p_b, state.p_nb)    # (B, K)
+        last_oh = state.last[:, :, None] == chars[None, None, :]  # (B, K, V)
 
-        # --- candidates -------------------------------------------------
-        # Slot 0 per beam: "stay" (emit blank, or repeat last char).
+        # Slot i (i < K) per beam: "stay" (emit blank, or repeat last char).
         stay_pb = total + lp_t[:, blank_id][:, None]
-        lp_last = jnp.take_along_axis(lp_t, state.last, axis=1)  # (B, K)
+        lp_last = jnp.sum(jnp.where(last_oh, lp_t[:, None, :], 0.0), axis=-1)
         stay_pnb = state.p_nb + lp_last
 
-        # Slots 1..V: extend with char c (blank slot masked out).
-        chars_u = chars[None, None, :].astype(jnp.uint32) + np.uint32(1)
-        ext_hash = (state.hash[:, :, None] * _HASH_MULT) ^ chars_u
-        ext_hash2 = (state.hash2[:, :, None] * _HASH_MULT2) + chars_u
-        same_as_last = chars[None, None, :] == state.last[:, :, None]
+        # Slots K..C-1: extend beam j with char c (blank column masked out).
+        same_as_last = last_oh
         base = jnp.where(same_as_last, state.p_b[:, :, None], total[:, :, None])
         ext_pnb = base + lp_t[:, None, :]
         is_blank = chars[None, None, :] == blank_id
         ext_pnb = jnp.where(is_blank, NEG_INF, ext_pnb)
-        ext_pb = jnp.full_like(ext_pnb, NEG_INF)
 
-        # --- flatten ----------------------------------------------------
-        C = K * (V + 1)
-        cand_hash = jnp.concatenate(
-            [state.hash[:, :, None], ext_hash], axis=2
-        ).reshape(B, C)
-        cand_hash2 = jnp.concatenate(
-            [state.hash2[:, :, None], ext_hash2], axis=2
-        ).reshape(B, C)
-        cand_last = jnp.concatenate(
-            [state.last[:, :, None],
-             jnp.broadcast_to(chars[None, None, :], (B, K, V))], axis=2
-        ).reshape(B, C)
-        cand_pb = jnp.concatenate([stay_pb[:, :, None], ext_pb], axis=2).reshape(B, C)
-        cand_pnb = jnp.concatenate([stay_pnb[:, :, None], ext_pnb], axis=2).reshape(B, C)
-        cand_parent = jnp.broadcast_to(
-            jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, V + 1)
-        ).reshape(B, C)
-        cand_char = jnp.concatenate(
-            [jnp.full((B, K, 1), -1, jnp.int32),
-             jnp.broadcast_to(chars[None, None, :], (B, K, V))], axis=2
-        ).reshape(B, C)
+        # --- exact merge: stay(i) duplicates extend(j, last_i) iff
+        # prefix_j == parent(prefix_i).  At most one j matches (prefixes
+        # are distinct), so a masked max is an exact select.
+        match = (
+            (state.phash[:, :, None] == state.hash[:, None, :])
+            & (state.phash2[:, :, None] == state.hash2[:, None, :])
+            & state.has_par[:, :, None]
+        )                                               # (B, i=K, j=K)
+        # ext_pnb value at (j, last_i): one-hot select over V, exact.
+        ext_at_last = jnp.sum(
+            jnp.where(last_oh[:, :, None, :], ext_pnb[:, None, :, :], 0.0),
+            axis=-1,
+        )                                               # (B, i, j)
+        contrib = jnp.max(
+            jnp.where(match, ext_at_last, NEG_INF), axis=-1
+        )                                               # (B, i)
+        stay_pnb = jnp.logaddexp(stay_pnb, contrib)
+        # Kill the merged extend candidates so they are not double-counted.
+        kill = jnp.any(
+            match[:, :, :, None] & last_oh[:, :, None, :], axis=1
+        )                                               # (B, j, V)
+        ext_pnb = jnp.where(kill, NEG_INF, ext_pnb)
 
-        # --- merge equal prefixes --------------------------------------
-        # Lexicographic sort on (hash, hash2) via two stable argsorts; a
-        # 64-bit combined identity makes accidental merges negligible.
-        o2 = jnp.argsort(cand_hash2, axis=-1, stable=True)
-        h1_tmp = jnp.take_along_axis(cand_hash, o2, axis=-1)
-        o1 = jnp.argsort(h1_tmp, axis=-1, stable=True)
-        order = jnp.take_along_axis(o2, o1, axis=-1)
-        g = lambda x: jnp.take_along_axis(x, order, axis=-1)
-        s_hash, s_hash2 = g(cand_hash), g(cand_hash2)
-        s_pb, s_pnb = g(cand_pb), g(cand_pnb)
-        s_last, s_parent, s_char = g(cand_last), g(cand_parent), g(cand_char)
-        same_as_prev = jnp.concatenate(
-            [jnp.zeros_like(s_hash[..., :1], dtype=bool),
-             (s_hash[..., 1:] == s_hash[..., :-1])
-             & (s_hash2[..., 1:] == s_hash2[..., :-1])], axis=-1
+        # --- flatten + top-K --------------------------------------------
+        cand_pb = jnp.concatenate(
+            [stay_pb, jnp.full((B, K * V), NEG_INF)], axis=1
         )
-        m_pb, m_pnb, is_tail = _segmented_logsumexp_pair(same_as_prev, s_pb, s_pnb)
-        score = jnp.where(is_tail, jnp.logaddexp(m_pb, m_pnb), NEG_INF)
+        cand_pnb = jnp.concatenate(
+            [stay_pnb, ext_pnb.reshape(B, K * V)], axis=1
+        )
+        score = jnp.logaddexp(cand_pb, cand_pnb)        # (B, C)
+        top_score, top_idx = jax.lax.top_k(score, K)    # (B, K)
 
-        # For a merged run, keep the tail element's (parent, char): ties in
-        # reconstruction are irrelevant because the prefixes are identical.
-        _, top_idx = jax.lax.top_k(score, K)            # (B, K)
-        gk = lambda x: jnp.take_along_axis(x, top_idx, axis=-1)
-        # Filler slots (masked non-tail candidates) still carry partial run
-        # accumulations in m_pb/m_pnb; kill them or they become ghost beams
-        # that double-count the same prefix on later steps.
-        dead = gk(score) <= NEG_INF / 2
+        # Candidate identity decodes arithmetically from its index.
+        is_stay = top_idx < K
+        parent = jnp.where(is_stay, top_idx, (top_idx - K) // V)
+        char = jnp.where(is_stay, -1, (top_idx - K) % V)
+
+        # Gather-free field selection (exact, ints and floats alike).
+        sel_c = top_idx[:, :, None] == arange_c[None, None, :]   # (B, K, C)
+        new_pb = _select_rows(cand_pb, sel_c)
+        new_pnb = _select_rows(cand_pnb, sel_c)
+        sel_p = parent[:, :, None] == arange_k[None, None, :]    # (B, K, K)
+        h_par = _select_rows(state.hash, sel_p)
+        h2_par = _select_rows(state.hash2, sel_p)
+        ph_par = _select_rows(state.phash, sel_p)
+        ph2_par = _select_rows(state.phash2, sel_p)
+        hp_par = _select_rows(state.has_par, sel_p) > 0
+        last_par = _select_rows(state.last, sel_p)
+
+        dead = top_score <= NEG_INF / 2
         new = BeamState(
-            hash=gk(s_hash), hash2=gk(s_hash2), last=gk(s_last),
-            p_b=jnp.where(dead, NEG_INF, gk(m_pb)),
-            p_nb=jnp.where(dead, NEG_INF, gk(m_pnb)),
+            hash=jnp.where(is_stay, h_par, h_par * mult1 ^ (char + 1)),
+            hash2=jnp.where(is_stay, h2_par, h2_par * mult2 + (char + 1)),
+            phash=jnp.where(is_stay, ph_par, h_par),
+            phash2=jnp.where(is_stay, ph2_par, h2_par),
+            has_par=jnp.where(is_stay, hp_par, True),
+            last=jnp.where(is_stay, last_par, char),
+            p_b=jnp.where(dead, NEG_INF, new_pb),
+            p_nb=jnp.where(dead, NEG_INF, new_pnb),
         )
-        parent = gk(s_parent)
-        char = gk(s_char)
 
         # Freeze finished examples.
         live = (t < logit_lengths)[:, None]
-        merged = BeamState(
-            hash=jnp.where(live, new.hash, state.hash),
-            hash2=jnp.where(live, new.hash2, state.hash2),
-            last=jnp.where(live, new.last, state.last),
-            p_b=jnp.where(live, new.p_b, state.p_b),
-            p_nb=jnp.where(live, new.p_nb, state.p_nb),
-        )
-        parent = jnp.where(live, parent, jnp.arange(K, dtype=jnp.int32)[None, :])
+        merged = BeamState(*[
+            jnp.where(live, n, s) for n, s in zip(new, state)
+        ])
+        parent = jnp.where(live, parent, arange_k[None, :])
         char = jnp.where(live, char, -1)
         return merged, (parent, char)
 
@@ -227,13 +232,15 @@ def beam_search_decode(
     # --- backtrack ------------------------------------------------------
     scores = jnp.logaddexp(final.p_b, final.p_nb)       # (B, K)
     order = jnp.argsort(-scores, axis=-1)
-    scores = jnp.take_along_axis(scores, order, axis=-1)
+    order_oh = order[:, :, None] == arange_k[None, None, :]
+    scores = _select_rows(scores, order_oh)
 
     def back(carry, inp):
         beam_idx = carry                                 # (B, K)
         parent_t, char_t = inp
-        ch = jnp.take_along_axis(char_t, beam_idx, axis=-1)
-        nxt = jnp.take_along_axis(parent_t, beam_idx, axis=-1)
+        sel = beam_idx[:, :, None] == arange_k[None, None, :]
+        ch = _select_rows(char_t, sel)
+        nxt = _select_rows(parent_t, sel)
         return nxt, ch
 
     _, chars_rev = jax.lax.scan(
@@ -243,14 +250,5 @@ def beam_search_decode(
 
     # Left-compact emitted (!= -1) chars into (B, K, U).
     keep = chars_fwd >= 0                                # (T, B, K)
-    pos = jnp.cumsum(keep, axis=0) - 1
-    lengths = jnp.minimum(jnp.sum(keep, axis=0), U).astype(jnp.int32)
-    out = jnp.full((B, K, U + 1), -1, jnp.int32)
-    t_sz, b_sz, k_sz = chars_fwd.shape
-    b_idx = jnp.broadcast_to(jnp.arange(B)[None, :, None], (T, B, K))
-    k_idx = jnp.broadcast_to(jnp.arange(K)[None, None, :], (T, B, K))
-    slot = jnp.where(keep, jnp.clip(pos, 0, U), U)
-    out = out.at[b_idx.ravel(), k_idx.ravel(), slot.ravel()].set(
-        jnp.where(keep, chars_fwd, -1).ravel(), mode="drop"
-    )
-    return out[:, :, :U], lengths, scores
+    out, lengths = _left_compact(chars_fwd, keep, U)
+    return out, lengths, scores

@@ -94,7 +94,9 @@ def next_char_loss(
     # Target at step t is the char at t+1; last valid step has no target.
     targets = jnp.concatenate([safe[1:], jnp.zeros((1, B), jnp.int32)], axis=0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[:, :, None], axis=2)[:, :, 0]
+    # One-hot select instead of a lane-axis gather (slow on TPU); exact.
+    tgt_oh = targets[:, :, None] == jnp.arange(cfg.num_labels)[None, None, :]
+    nll = -jnp.sum(jnp.where(tgt_oh, logp, 0.0), axis=-1)
     mask = (jnp.arange(T)[:, None] < (seq_lengths - 1)[None, :]).astype(jnp.float32)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 

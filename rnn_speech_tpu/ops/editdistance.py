@@ -61,9 +61,10 @@ def edit_distance(
     final_row, _ = jax.lax.scan(
         step, row0, (a.T.astype(jnp.int32), jnp.arange(N))
     )
-    return jnp.take_along_axis(
-        final_row, jnp.minimum(b_lengths, M)[:, None], axis=1
-    )[:, 0]
+    # Pick final_row[b, b_lengths[b]] without a lane-axis gather (slow on
+    # TPU): one-hot mask + sum, exact in int32.
+    pick = jnp.minimum(b_lengths, M)[:, None] == jnp.arange(M + 1)[None, :]
+    return jnp.sum(jnp.where(pick, final_row, 0), axis=1)
 
 
 def error_rate(

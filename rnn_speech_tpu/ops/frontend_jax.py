@@ -27,7 +27,7 @@ samples (such clips are skipped by eval in the reference anyway).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -163,15 +163,28 @@ class DeviceFrontend:
         else:
             raise ValueError(f"Unknown feature type {feature_type!r}")
 
-        # Static frame gather index (max_frames, frame_length).
-        self._frame_idx = jnp.asarray(
-            np.arange(self.frame_length)[None, :]
-            + np.arange(self.max_frames)[:, None] * self.frame_step
-        )
-
     # ------------------------------------------------------------------ call
 
-    def num_frames_for(self, n_samples: jnp.ndarray) -> jnp.ndarray:
+    def _frames_for_width(self, n_samples: int) -> int:
+        """Static frame count for a signal buffer of width n_samples.
+
+        The featurizer is shape-polymorphic: bucketed input pipelines feed
+        shorter-than-max buffers and every derived shape follows the buffer
+        width, so one DeviceFrontend serves all buckets (one XLA
+        compilation per distinct width)."""
+        if self.feature_type == "fbank":
+            return int(np.ceil(abs(n_samples - self.frame_length) / self.frame_step))
+        return 1 + (n_samples + self._center_slack) // self.frame_step
+
+    def _frame_idx_for(self, n_frames: int) -> jnp.ndarray:
+        return jnp.asarray(
+            np.arange(self.frame_length)[None, :]
+            + np.arange(n_frames)[:, None] * self.frame_step
+        )
+
+    def num_frames_for(
+        self, n_samples: jnp.ndarray, limit: Optional[int] = None
+    ) -> jnp.ndarray:
         """Per-example valid frame count (same formulas as the host path)."""
         if self.feature_type == "fbank":
             nf = jnp.ceil(
@@ -182,20 +195,21 @@ class DeviceFrontend:
         # Zero-length (batch padding) entries yield zero frames — the host
         # formula's abs() would otherwise report phantom frames for them.
         nf = jnp.where(n_samples <= 0, 0, nf)
-        return jnp.clip(nf, 0, self.max_frames)
+        return jnp.clip(nf, 0, self.max_frames if limit is None else limit)
 
     def __call__(
         self, signals: jnp.ndarray, lengths: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """signals f32[B, max_samples], lengths i32[B] -> (feats, frames)."""
+        """signals f32[B, n <= max_samples], lengths i32[B] -> (feats, frames)."""
         if self.feature_type == "fbank":
             return self._fbank(signals, lengths)
         return self._mfcc(signals, lengths)
 
     def _fbank(self, signals, lengths):
-        B = signals.shape[0]
+        B, n_samples = signals.shape
+        n_frames = self._frames_for_width(n_samples)
         # Zero out padding samples so frames past the tail contribute nothing.
-        s_idx = jnp.arange(self.max_samples)[None, :]
+        s_idx = jnp.arange(n_samples)[None, :]
         signals = jnp.where(s_idx < lengths[:, None], signals, 0.0)
 
         # Pre-emphasis (first sample kept as-is).
@@ -203,10 +217,10 @@ class DeviceFrontend:
             [signals[:, :1], signals[:, 1:] - 0.97 * signals[:, :-1]], axis=1
         )
         # Padding to full frame coverage.
-        pad_len = self.max_frames * self.frame_step + self.frame_length
-        pre = jnp.pad(pre, ((0, 0), (0, pad_len - self.max_samples)))
+        pad_len = n_frames * self.frame_step + self.frame_length
+        pre = jnp.pad(pre, ((0, 0), (0, pad_len - n_samples)))
 
-        frames = pre[:, self._frame_idx]                    # (B, T, L)
+        frames = pre[:, self._frame_idx_for(n_frames)]      # (B, T, L)
         spec = jnp.einsum("btl,lf->btf", frames, self._basis, precision=jax.lax.Precision.HIGHEST)
         bins = self.n_fft // 2 + 1
         power = (spec[..., :bins] ** 2 + spec[..., bins:] ** 2) / self.n_fft
@@ -215,8 +229,8 @@ class DeviceFrontend:
         banks = jnp.where(banks == 0.0, np.finfo(np.float64).eps, banks)
         banks = 10.0 * jnp.log10(banks)
 
-        nf = self.num_frames_for(lengths)
-        t_idx = jnp.arange(self.max_frames)[None, :]
+        nf = self.num_frames_for(lengths, limit=n_frames)
+        t_idx = jnp.arange(n_frames)[None, :]
         valid = (t_idx < nf[:, None])[:, :, None]            # (B, T, 1)
         mean = jnp.sum(jnp.where(valid, banks, 0.0), axis=1, keepdims=True) / (
             jnp.maximum(nf, 1)[:, None, None].astype(banks.dtype)
@@ -230,7 +244,9 @@ class DeviceFrontend:
         return feats.astype(jnp.float32), nf
 
     def _mfcc(self, signals, lengths):
-        s_idx = jnp.arange(self.max_samples)[None, :]
+        B, n_samples = signals.shape
+        n_frames = self._frames_for_width(n_samples)
+        s_idx = jnp.arange(n_samples)[None, :]
         signals = jnp.where(s_idx < lengths[:, None], signals, 0.0)
 
         # Reflect-pad by n_fft//2 on both sides (librosa center=True).  The
@@ -238,19 +254,19 @@ class DeviceFrontend:
         # build it with a per-example gather.
         pad = self.n_fft // 2
         left = signals[:, 1 : pad + 1][:, ::-1]
-        total = pad + self.max_samples + pad
+        total = pad + n_samples + pad
         base = jnp.arange(total) - pad                        # signal coords
         L = lengths[:, None]
         # positions >= L reflect: idx -> 2*(L-1) - idx
         idx = jnp.where(base[None, :] >= L, 2 * (L - 1) - base[None, :], base[None, :])
-        idx = jnp.clip(idx, -pad, self.max_samples - 1)
+        idx = jnp.clip(idx, -pad, n_samples - 1)
         gathered = jnp.take_along_axis(
             jnp.concatenate([left, signals], axis=1),
             (idx + pad).astype(jnp.int32),
             axis=1,
         )
 
-        frames = gathered[:, self._frame_idx]
+        frames = gathered[:, self._frame_idx_for(n_frames)]
         spec = jnp.einsum("btl,lf->btf", frames, self._basis, precision=jax.lax.Precision.HIGHEST)
         bins = self.n_fft // 2 + 1
         power = spec[..., :bins] ** 2 + spec[..., bins:] ** 2
@@ -258,8 +274,8 @@ class DeviceFrontend:
         mel = jnp.einsum("btf,fm->btm", power, self._mel, precision=jax.lax.Precision.HIGHEST)
         db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
 
-        nf = self.num_frames_for(lengths)
-        t_idx = jnp.arange(self.max_frames)[None, :]
+        nf = self.num_frames_for(lengths, limit=n_frames)
+        t_idx = jnp.arange(n_frames)[None, :]
         valid = (t_idx < nf[:, None])[:, :, None]
         peak = jnp.max(jnp.where(valid, db, -jnp.inf), axis=(1, 2), keepdims=True)
         db = jnp.maximum(db, peak - 80.0)

@@ -90,6 +90,7 @@ def train_acoustic(
         signal_processing=config.signal_processing,
         num_workers=4 if tpu.prefetch_depth > 0 else 0,
         prefetch_batches=max(tpu.prefetch_depth, 1),
+        bucket_count=max(tpu.bucket_count, 1),
     )
     fe = DeviceFrontend(
         config.signal_processing, sr=pcfg.sample_rate, max_samples=pcfg.max_samples
@@ -149,7 +150,18 @@ def train_acoustic(
 
     epoch = 0
     ordering = config.dataset_size_ordering
-    train_iter = iter(pipe_mod.InputPipeline(train_set, char_map, pcfg))
+
+    def make_train_iter():
+        # With audio-width bucketing, sort shuffle-windows by duration so
+        # each macro batch lands in one bucket (shapes stay homogeneous
+        # without losing shuffle-scale randomness).
+        data = train_set
+        if pcfg.bucket_count > 1:
+            window = pcfg.batch_size * pcfg.mini_batch_size * pcfg.bucket_count
+            data = pipe_mod.order_by_duration(train_set, window=window)
+        return iter(pipe_mod.InputPipeline(data, char_map, pcfg))
+
+    train_iter = make_train_iter()
     total_steps = 0
 
     def next_batch():
@@ -162,7 +174,7 @@ def train_acoustic(
             if ordering in ("False", "First_run_only"):
                 logger.info("Shuffling the training dataset")
                 shuffle(train_set)
-            train_iter = iter(pipe_mod.InputPipeline(train_set, char_map, pcfg))
+            train_iter = make_train_iter()
             return next(train_iter), True
 
     trace_ctx = None

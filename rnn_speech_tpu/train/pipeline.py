@@ -50,6 +50,7 @@ class PipelineConfig:
     prefetch_batches: int = 2
     add_eos: bool = False             # EOS id == CTC blank; see charmap notes
     use_native_loader: bool = True    # C++ thread-pool decode when available
+    bucket_count: int = 1             # audio-width buckets (1 = full padding)
 
     @property
     def max_samples(self) -> int:
@@ -123,6 +124,20 @@ class InputPipeline:
 
     # -------------------------------------------------------------- assembly
 
+    def _bucket_width(self, items: List[Dict]) -> int:
+        """Smallest bucket width (of cfg.bucket_count even divisions of
+        max_samples) covering the longest clip in this macro batch.  Each
+        distinct width costs one extra XLA compile of the step and the
+        shorter buckets cut compute proportionally; combine with
+        ``order_by_duration`` windows so batches stay length-homogeneous."""
+        cfg = self.cfg
+        if cfg.bucket_count <= 1:
+            return cfg.max_samples
+        longest = max((item["audio_length"] for item in items), default=0)
+        unit = -(-cfg.max_samples // cfg.bucket_count)   # ceil division
+        k = max(1, -(-longest // unit))
+        return min(k * unit, cfg.max_samples)
+
     def _assemble(self, items: List[Dict]) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         mb, b = cfg.mini_batch_size, cfg.batch_size
@@ -132,7 +147,7 @@ class InputPipeline:
         ]
         out: Dict[str, np.ndarray] = {}
         if cfg.on_device_frontend:
-            audio = np.zeros((need, cfg.max_samples), np.float32)
+            audio = np.zeros((need, self._bucket_width(items)), np.float32)
             lengths = np.zeros((need,), np.int32)
             for i, item in enumerate(items):
                 n = item["audio_length"]

@@ -135,3 +135,31 @@ def test_device_num_frames_matches_host_formula(sig):
         dev_m = int(fe_m.num_frames_for(np.array([n]))[0])
         _, host_m = frontend.extract_mfcc(x[:n], sr)
         assert dev_m == host_m, f"mfcc mismatch at n={n}: {dev_m} vs {host_m}"
+
+
+def test_device_frontend_shape_polymorphic():
+    """Feeding a narrower buffer yields the same features for clips that
+    fit — the bucketed pipeline relies on width-invariance."""
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend
+
+    sr = 22050
+    full = sr * 2
+    rng = np.random.default_rng(5)
+    sig = rng.normal(0, 0.3, sr).astype(np.float32)      # 1 s clip
+    for kind in ("fbank", "mfcc"):
+        fe = DeviceFrontend(kind, sr=sr, max_samples=full)
+        pad_full = np.zeros((1, full), np.float32)
+        pad_full[0, : len(sig)] = sig
+        pad_half = np.zeros((1, full // 2 + 100), np.float32)
+        pad_half[0, : len(sig)] = sig
+        lengths = jnp.asarray([len(sig)], jnp.int32)
+        f_full, n_full = fe(jnp.asarray(pad_full), lengths)
+        f_half, n_half = fe(jnp.asarray(pad_half), lengths)
+        assert int(n_full[0]) == int(n_half[0])
+        nf = int(n_full[0])
+        np.testing.assert_allclose(
+            np.asarray(f_half)[0, :nf], np.asarray(f_full)[0, :nf],
+            atol=2e-4, rtol=1e-4,
+        )

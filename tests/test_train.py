@@ -229,3 +229,39 @@ def test_language_model_loss_and_generate():
     out = language.generate(params, cfg, cm.encode("O", add_eos=False), 5)
     assert len(out) == 5
     assert all(0 <= c < len(cm) for c in out)
+
+
+def test_pipeline_bucketed_widths():
+    """bucket_count > 1 pads each macro batch to the smallest covering
+    bucket width instead of max_samples."""
+    import numpy as np
+
+    from rnn_speech_tpu import audio_io
+    from rnn_speech_tpu.models.recognizer import SpeechRecognizer
+    from rnn_speech_tpu.train import pipeline as pipe_mod
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    dataset = []
+    for i, seconds in enumerate((0.3, 0.35, 2.2, 2.4)):
+        n = int(22050 * seconds)
+        path = os.path.join(d, f"{i}.wav")
+        audio_io.write_wav(path, rng.normal(0, 0.2, n).astype(np.float32), 22050)
+        dataset.append([path, "test words", seconds])
+
+    cm = SpeechRecognizer("english").get_char_map()
+    cfg = pipe_mod.PipelineConfig(
+        batch_size=2, mini_batch_size=1, max_input_seq_length=300,
+        max_target_seq_length=20, bucket_count=4,
+    )
+    batches = list(pipe_mod.InputPipeline(dataset, cm, cfg))
+    assert len(batches) == 2
+    widths = sorted(b["audio"].shape[-1] for b in batches)
+    unit = -(-cfg.max_samples // 4)
+    assert widths[0] == unit                 # short clips -> 1 bucket unit
+    assert widths[1] in (3 * unit, cfg.max_samples)  # long clips -> bigger
+    assert widths[1] > widths[0]
+    # Lengths never exceed the bucket width.
+    for b in batches:
+        assert int(b["audio_lengths"].max()) <= b["audio"].shape[-1]

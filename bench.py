@@ -25,7 +25,7 @@ import numpy as np
 SR = 22050
 SECONDS = 10.24
 MAX_SAMPLES = int(SR * SECONDS)
-BATCH = 64
+BATCH = 128   # peak utt/s on v5e (64: ~2100, 128: ~2600, 256: ~2500)
 LAYERS, HIDDEN, LABELS = 3, 1024, 80
 WARMUP, ITERS = 2, 10
 

@@ -107,16 +107,20 @@ class Config:
     # -------------------------------------------------------------- helpers
 
     def lm_resolved(self) -> "LmConfig":
-        """LM params with None fields filled from the acoustic section."""
+        """LM params with None fields filled from the acoustic section.
+
+        Only ``None`` means "inherit" — an explicit 0 (e.g. grad_clip : 0
+        to disable clipping) is preserved."""
         lm = self.lm
+        pick = lambda v, default: default if v is None else v
         return LmConfig(
-            num_layers=lm.num_layers or self.num_layers,
-            hidden_size=lm.hidden_size or self.hidden_size,
+            num_layers=pick(lm.num_layers, self.num_layers),
+            hidden_size=pick(lm.hidden_size, self.hidden_size),
             dropout_keep_prob=lm.dropout_keep_prob,
-            batch_size=lm.batch_size or self.batch_size,
-            learning_rate=lm.learning_rate or self.learning_rate,
-            lr_decay_factor=lm.lr_decay_factor or self.lr_decay_factor,
-            grad_clip=lm.grad_clip or self.grad_clip,
+            batch_size=pick(lm.batch_size, self.batch_size),
+            learning_rate=pick(lm.learning_rate, self.learning_rate),
+            lr_decay_factor=pick(lm.lr_decay_factor, self.lr_decay_factor),
+            grad_clip=pick(lm.grad_clip, self.grad_clip),
             text_corpus=lm.text_corpus,
         )
 

@@ -57,6 +57,10 @@ def _left_compact(chars: jnp.ndarray, keep: jnp.ndarray, U: int):
     key = jnp.transpose(slot, perm)
     val = jnp.transpose(jnp.where(keep, chars, -1), perm)
     key_sorted, val_sorted = jax.lax.sort((key, val), num_keys=1)
+    if U > T:  # honor the requested width even when T can't fill it
+        pad = ((0, 0),) * (val_sorted.ndim - 1) + ((0, U - T),)
+        val_sorted = jnp.pad(val_sorted, pad, constant_values=-1)
+        key_sorted = jnp.pad(key_sorted, pad, constant_values=T)
     out = jnp.where(key_sorted[..., :U] < T, val_sorted[..., :U], -1)
     lengths = jnp.minimum(jnp.sum(keep, axis=0), U).astype(jnp.int32)
     return out, lengths

@@ -49,8 +49,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
 
 
 def available() -> bool:
-    """True when the native runtime library is loadable."""
-    return audiodec.get_native_lib() is not None
+    """True when the native runtime library loads AND exposes the loader
+    symbols (a stale library built before loader.cpp existed must route
+    callers to the process-pool fallback, not crash mid-pipeline)."""
+    lib = audiodec.get_native_lib()
+    return lib is not None and hasattr(lib, "rst_loader_create")
 
 
 class NativeAudioLoader:
@@ -71,18 +74,33 @@ class NativeAudioLoader:
         capacity: int = 64,
     ):
         lib = audiodec.get_native_lib()
-        if lib is None:
+        if lib is None or not hasattr(lib, "rst_loader_create"):
             raise RuntimeError("Native runtime library unavailable")
         self._lib = _bind(lib)
         self._max_samples = int(max_samples)
-        self._n = len(paths)
+        self._paths = [str(p).encode() for p in paths]
         self._handle = self._lib.rst_loader_create(
             int(n_threads), self._max_samples, int(target_rate), int(capacity)
         )
-        for i, path in enumerate(paths):
-            self._lib.rst_loader_submit(self._handle, i, str(path).encode())
-        self._lib.rst_loader_close(self._handle)
+        # Lazy submission: keep ~2x capacity in flight instead of pushing
+        # the whole (possibly corpus-sized) path list through the FFI and
+        # into the C++ task deque up front.
+        self._submitted = 0
+        self._window = max(2 * int(capacity), int(n_threads) * 2)
+        self._closed = False
+        self._fill()
         self._buf = np.empty((self._max_samples,), np.float32)
+
+    def _fill(self) -> None:
+        target = min(len(self._paths), self._submitted + self._window)
+        while self._submitted < target:
+            self._lib.rst_loader_submit(
+                self._handle, self._submitted, self._paths[self._submitted]
+            )
+            self._submitted += 1
+        if self._submitted == len(self._paths) and not self._closed:
+            self._lib.rst_loader_close(self._handle)
+            self._closed = True
 
     def __iter__(self) -> Iterator[Tuple[int, Optional[np.ndarray], int]]:
         return self
@@ -90,6 +108,7 @@ class NativeAudioLoader:
     def __next__(self):
         if self._handle is None:
             raise StopIteration
+        self._fill()
         index = ctypes.c_int64()
         n = ctypes.c_int64()
         rc = self._lib.rst_loader_next(

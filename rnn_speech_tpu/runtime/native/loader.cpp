@@ -55,6 +55,10 @@ int decode_flac_file(const std::string& path, Decoded* out) {
   int32_t channels = 0, rate = 0, bps = 0;
   int rc = rst_flac_decode(path.c_str(), &samples, &count, &channels, &rate, &bps);
   if (rc != 0) return 100 + rc;
+  if (rate <= 0 || rate > 1000000 || channels <= 0 || bps < 4 || bps > 32) {
+    rst_free(samples);
+    return 99;  // corrupt STREAMINFO
+  }
   const float scale = 1.0f / (float)(1u << (bps - 1));
   out->mono.resize((size_t)count);
   if (channels == 1) {
@@ -99,6 +103,8 @@ int decode_wav(const std::vector<uint8_t>& d, Decoded* out) {
     return 11;
   size_t pos = 12;
   int channels = 0, rate = 0, bits = 0, fmt = 0;
+  const uint8_t* fmt_body = nullptr;
+  uint32_t fmt_len = 0;
   const uint8_t* pcm = nullptr;
   size_t pcm_len = 0;
   while (pos + 8 <= d.size()) {
@@ -111,6 +117,8 @@ int decode_wav(const std::vector<uint8_t>& d, Decoded* out) {
       channels = rd_le16(body + 2);
       rate = (int)rd_le32(body + 4);
       bits = rd_le16(body + 14);
+      fmt_body = body;
+      fmt_len = len;
     } else if (!std::memcmp(hdr, "data", 4)) {
       pcm = body;
       pcm_len = len;
@@ -119,8 +127,11 @@ int decode_wav(const std::vector<uint8_t>& d, Decoded* out) {
   }
   if (!pcm || channels <= 0 || rate <= 0) return 12;
   if (fmt != 1 && fmt != 0xFFFE) return 13;  // PCM only
+  // WAVE_FORMAT_EXTENSIBLE: require a PCM SubFormat (first two GUID bytes).
+  if (fmt == 0xFFFE && !(fmt_len >= 40 && rd_le16(fmt_body + 24) == 1))
+    return 15;
+  if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return 14;
   size_t bytes_per = (size_t)bits / 8;
-  if (bytes_per < 1 || bytes_per > 4) return 14;
   size_t frames = pcm_len / (bytes_per * (size_t)channels);
   out->mono.resize(frames);
   for (size_t i = 0; i < frames; ++i) {

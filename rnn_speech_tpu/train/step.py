@@ -35,6 +35,15 @@ from rnn_speech_tpu.train import optim
 TrainState = Dict[str, Any]   # params / opt / states / step / lr
 
 
+def _vary(x, axis_name):
+    """Mark x as device-varying over a shard_map axis (scan carries inside
+    shard_map must be vma-typed to match their varying outputs)."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, axis_name, to="varying")
+    return jax.lax.pvary(x, axis_name)  # pre-pcast spelling
+
+
 @dataclass(frozen=True)
 class StepConfig:
     model: acoustic.AcousticConfig
@@ -113,13 +122,8 @@ def accumulate_grads(
     grad_zero = jax.tree.map(jnp.zeros_like, params)
     zero = jnp.zeros((), jnp.float32)
     if axis_name is not None:
-        pcast = getattr(jax.lax, "pcast", None)
-        if pcast is not None:
-            vary = lambda x: pcast(x, axis_name, to="varying")
-        else:  # older spelling
-            vary = lambda x: jax.lax.pvary(x, axis_name)
-        grad_zero = jax.tree.map(vary, grad_zero)
-        zero = vary(zero)
+        grad_zero = jax.tree.map(lambda g: _vary(g, axis_name), grad_zero)
+        zero = _vary(zero, axis_name)
 
     def micro_body(carry, micro):
         states, grad_acc, loss_acc, err_acc, mrng = carry
@@ -215,13 +219,8 @@ def eval_step(
     zero_states = acoustic.zero_state(cfg.model, B)
     zero = jnp.zeros((), jnp.float32)
     if axis_name is not None:
-        pcast = getattr(jax.lax, "pcast", None)
-        if pcast is not None:
-            vary = lambda x: pcast(x, axis_name, to="varying")
-        else:  # older spelling
-            vary = lambda x: jax.lax.pvary(x, axis_name)
-        zero_states = jax.tree.map(vary, zero_states)
-        zero = vary(zero)
+        zero_states = jax.tree.map(lambda s: _vary(s, axis_name), zero_states)
+        zero = _vary(zero, axis_name)
 
     def micro_body(carry, micro):
         loss_acc, err_acc = carry

@@ -152,3 +152,13 @@ def test_lm_section_inherits_acoustic(ini_path):
     assert resolved.hidden_size == cfg.hidden_size
     assert resolved.learning_rate == cfg.learning_rate
     assert resolved.batch_size == cfg.batch_size
+
+
+def test_lm_explicit_zero_not_inherited(tmp_path):
+    path = tmp_path / "config.ini"
+    path.write_text(
+        INI.format(ckpt=tmp_path / "ckpt")
+        + "\n[lm_network_params]\ngrad_clip : 0\n"
+    )
+    cfg = load_config(str(path))
+    assert cfg.lm_resolved().grad_clip == 0.0   # not the acoustic 1.0

@@ -151,3 +151,51 @@ def test_pipeline_native_equals_sync(corpus):
         np.testing.assert_allclose(
             sb["audio_lengths"], nb["audio_lengths"], atol=2
         )
+
+
+def test_left_compact_wider_than_T():
+    """max_output wider than T keeps the documented output width."""
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.ops import decode
+
+    T, B, V = 6, 2, 4
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 2, (T, B, V)).astype(np.float32))
+    ll = jnp.asarray([6, 3])
+    out, lens = decode.greedy_decode(logits, ll, max_output=10)
+    assert out.shape == (B, 10)
+    labels, lengths, _ = decode.beam_search_decode(logits, ll, beam_width=3,
+                                                   max_output=10)
+    assert labels.shape == (B, 3, 10)
+
+
+def test_float_wav_rejected(corpus, tmp_path):
+    """Non-PCM WAV (IEEE float fmt tag) reports a decode error, not silence."""
+    import struct, wave
+
+    bad = str(tmp_path / "float.wav")
+    n = 1000
+    data = np.zeros(n, np.float32).tobytes()
+    # Hand-build a fmt-tag-3 (IEEE float) WAV.
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 22050, 22050 * 4, 4, 32)
+    dat = b"data" + struct.pack("<I", len(data)) + data
+    with open(bad, "wb") as fh:
+        fh.write(hdr + fmt + dat)
+    with loader.NativeAudioLoader(
+        [bad], max_samples=1 << 16, target_rate=22050, n_threads=1
+    ) as ld:
+        _, audio, rc = next(ld)
+    assert rc != 0 and audio is None
+
+
+def test_large_list_lazy_submission(corpus):
+    """Iterator startup is O(capacity) — large lists do not pre-submit."""
+    paths = list(corpus) * 50   # 200 files
+    with loader.NativeAudioLoader(
+        paths, max_samples=1 << 20, target_rate=22050, n_threads=2, capacity=4
+    ) as ld:
+        assert ld._submitted <= 2 * 4 + 4   # window, not len(paths)
+        got = sum(1 for _, a, rc in ld if rc == 0)
+    assert got == len(paths)

@@ -146,8 +146,36 @@ def _build_forward(config, char_map, batch_size: int):
     return model_cfg, fe, pcfg, params
 
 
+def _load_lm_stepper(config, char_map, lm_weight: float):
+    """(init, advance) for AM+LM shallow fusion, or None.
+
+    Requires ``--lm_weight`` > 0 and a trained language checkpoint under
+    ``checkpoint_dir/language/``; absent either, decoding stays AM-only."""
+    if lm_weight <= 0.0:
+        return None
+    import jax
+
+    from rnn_speech_tpu.models import language
+    from rnn_speech_tpu.train import checkpoint as ckpt
+
+    lm_params_cfg = config.lm_resolved()
+    cfg = language.LanguageConfig(
+        num_layers=lm_params_cfg.num_layers,
+        hidden_size=lm_params_cfg.hidden_size,
+        num_labels=len(char_map),
+    )
+    params = language.init_params(jax.random.PRNGKey(0), cfg)
+    restored = ckpt.restore(config.checkpoint_dir + "/language/", params)
+    if restored is None:
+        logger.warning(
+            "--lm_weight set but no language checkpoint found; decoding AM-only"
+        )
+        return None
+    return language.stepper(restored[0], cfg)
+
+
 def _transcribe_batch(model_cfg, params, feats_bm, frame_lengths, char_map,
-                      beam_width: int):
+                      beam_width: int, lm=None, lm_weight: float = 0.0):
     """feats (B, T, D) batch-major -> list of decoded strings."""
     import functools
 
@@ -168,7 +196,8 @@ def _transcribe_batch(model_cfg, params, feats_bm, frame_lengths, char_map,
         )
         if beam_width > 1:
             labels, lengths, _ = decode.beam_search_decode(
-                logits, frame_lengths, beam_width=beam_width
+                logits, frame_lengths, beam_width=beam_width,
+                lm=lm, lm_weight=lm_weight,
             )
             return labels[:, 0], lengths[:, 0]
         return decode.greedy_decode(logits, frame_lengths)
@@ -313,8 +342,10 @@ def process_file(config, prog, char_map, file_path) -> int:
     padded[0, : len(sig)] = sig
     feats, nf = featurize(fe, jnp.asarray(padded),
                           jnp.asarray([len(sig)], dtype=jnp.int32))
+    lm = _load_lm_stepper(config, char_map, prog["lm_weight"])
     text = _transcribe_batch(
-        model_cfg, params, np.asarray(feats), nf, char_map, prog["beam_width"]
+        model_cfg, params, np.asarray(feats), nf, char_map,
+        prog["beam_width"], lm=lm, lm_weight=prog["lm_weight"],
     )[0]
     print(text)
     return 0
@@ -343,6 +374,7 @@ def evaluate(config, prog, char_map) -> int:
 
     from rnn_speech_tpu import audio_io
 
+    lm = _load_lm_stepper(config, char_map, prog["lm_weight"])
     wer_list, cer_list = [], []
     batch_audio, batch_lengths, batch_truth = [], [], []
 
@@ -358,7 +390,7 @@ def evaluate(config, prog, char_map) -> int:
         feats, nf = featurize(fe, jnp.asarray(audio), jnp.asarray(lengths))
         texts = _transcribe_batch(
             model_cfg, params, np.asarray(feats), nf, char_map,
-            prog["beam_width"],
+            prog["beam_width"], lm=lm, lm_weight=prog["lm_weight"],
         )
         for text, truth in zip(texts, batch_truth):
             if not truth:
@@ -493,6 +525,10 @@ def parse_args(argv=None) -> dict:
                              "XLA-compiled here")
     parser.add_argument("--beam_width", type=int, default=16,
                         help="CTC beam width for decoding (1 = greedy)")
+    parser.add_argument("--lm_weight", type=float, default=0.0,
+                        help="Shallow-fusion weight for the char-LM during "
+                             "beam decoding (0 = AM only; needs a trained "
+                             "language checkpoint)")
     parser.add_argument("--mesh_data", type=int, default=1,
                         help="Data-parallel mesh axis size for training")
     parser.add_argument("--mesh_model", type=int, default=1,
@@ -519,7 +555,8 @@ def parse_args(argv=None) -> dict:
         "config_file": args.config, "tb_name": args.tb_name,
         "max_epoch": args.max_epoch, "learn_rate": args.learn_rate,
         "timeline": args.timeline, "XLA": args.XLA,
-        "beam_width": args.beam_width, "mesh_data": args.mesh_data,
+        "beam_width": args.beam_width, "lm_weight": args.lm_weight,
+        "mesh_data": args.mesh_data,
         "mesh_model": args.mesh_model, "max_steps": args.max_steps,
         "train_acoustic": args.train_acoustic,
         "train_language": args.train_language, "file": args.file,

@@ -70,6 +70,33 @@ def forward(
     )
 
 
+def stepper(params, cfg: LanguageConfig):
+    """(init, advance) single-character stepping interface for decoders.
+
+    Shapes are flat over hypotheses: state leaves are (N, H), log-prob
+    outputs (N, num_labels).  ``init(n)`` conditions on a zero input vector
+    (the no-context prior — the char map has no BOS symbol);
+    ``advance(state, chars)`` consumes one character id per hypothesis.
+    This is the hook rnn_speech_tpu.ops.decode uses for AM+LM shallow
+    fusion (the reference's roadmap item 3, never reached there).
+    """
+    ones = lambda n: jnp.ones((n,), jnp.int32)
+
+    def init(n: int):
+        states = zero_state(cfg, n)
+        x = jnp.zeros((1, n, cfg.num_labels), jnp.float32)
+        logits, states = forward(params, cfg, x, ones(n), states)
+        return states, jax.nn.log_softmax(logits[0], axis=-1)
+
+    def advance(states, chars: jnp.ndarray):
+        n = chars.shape[0]
+        x = jax.nn.one_hot(chars, cfg.num_labels, dtype=jnp.float32)[None]
+        logits, states = forward(params, cfg, x, ones(n), states)
+        return states, jax.nn.log_softmax(logits[0], axis=-1)
+
+    return init, advance
+
+
 def next_char_loss(
     params,
     cfg: LanguageConfig,

@@ -112,14 +112,27 @@ def beam_search_decode(
     beam_width: int = 16,
     blank_id: int = -1,
     max_output: int = 0,
+    lm=None,                    # optional (init, advance) from language.stepper
+    lm_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Prefix beam search. Returns (labels (B, K, U), lengths (B, K),
-    scores (B, K)) sorted best-first; labels padded with -1."""
+    scores (B, K)) sorted best-first; labels padded with -1.
+
+    With ``lm`` set (see rnn_speech_tpu.models.language.stepper) and
+    ``lm_weight`` > 0, candidates are ranked by shallow fusion:
+    AM log-prob + lm_weight * LM log-prob of the emitted characters.  The
+    LM state advances once per appended character per beam, with the same
+    gather-free selection discipline as the rest of the step.  This is the
+    AM+LM "general SpeechRecognizer" combination the reference planned but
+    never built (/root/reference/README.md roadmap item 3,
+    /root/reference/models/SpeechRecognizer.py:4-8).
+    """
     T, B, V = logits.shape
     K = beam_width
     if blank_id < 0:
         blank_id = V + blank_id
     U = max_output or T
+    use_lm = lm is not None and lm_weight != 0.0
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
     init = BeamState(
@@ -141,7 +154,26 @@ def beam_search_decode(
     arange_c = jnp.arange(C, dtype=jnp.int32)
     arange_k = jnp.arange(K, dtype=jnp.int32)
 
-    def step(state, inp):
+    if use_lm:
+        lm_init, lm_advance = lm
+        lm_state0, lm_logp0 = lm_init(B * K)
+        lm0 = (
+            jnp.zeros((B, K), jnp.float32),                    # cumulative logP
+            lm_logp0.reshape(B, K, -1)[:, :, :V],
+            lm_state0,
+        )
+    else:
+        lm0 = None
+
+    def _sel_k(field, sel_p):
+        """Per-beam selection by parent for (B, K, ...) fields via a small
+        einsum (DEFAULT precision: fine for LM activations/log-probs)."""
+        return jnp.einsum(
+            "bkj,bj...->bk...", sel_p.astype(field.dtype), field
+        )
+
+    def step(carry, inp):
+        state, lm_c = carry
         lp_t, t = inp                                   # lp_t: (B, V)
         total = jnp.logaddexp(state.p_b, state.p_nb)    # (B, K)
         last_oh = state.last[:, :, None] == chars[None, None, :]  # (B, K, V)
@@ -188,8 +220,21 @@ def beam_search_decode(
         cand_pnb = jnp.concatenate(
             [stay_pnb, ext_pnb.reshape(B, K * V)], axis=1
         )
-        score = jnp.logaddexp(cand_pb, cand_pnb)        # (B, C)
-        top_score, top_idx = jax.lax.top_k(score, K)    # (B, K)
+        score = jnp.logaddexp(cand_pb, cand_pnb)        # (B, C) AM score
+        if use_lm:
+            lm_cum, lm_logp, lm_state = lm_c
+            # Shallow-fusion rank: stay keeps the prefix LM score; extend
+            # adds the LM's next-char log-prob.
+            lm_rank = jnp.concatenate(
+                [lm_cum, (lm_cum[:, :, None] + lm_logp).reshape(B, K * V)],
+                axis=1,
+            )
+            rank = jnp.where(
+                score <= NEG_INF / 2, NEG_INF, score + lm_weight * lm_rank
+            )
+        else:
+            rank = score
+        _, top_idx = jax.lax.top_k(rank, K)             # (B, K)
 
         # Candidate identity decodes arithmetically from its index.
         is_stay = top_idx < K
@@ -208,7 +253,7 @@ def beam_search_decode(
         hp_par = _select_rows(state.has_par, sel_p) > 0
         last_par = _select_rows(state.last, sel_p)
 
-        dead = top_score <= NEG_INF / 2
+        dead = jnp.logaddexp(new_pb, new_pnb) <= NEG_INF / 2
         new = BeamState(
             hash=jnp.where(is_stay, h_par, h_par * mult1 ^ (char + 1)),
             hash2=jnp.where(is_stay, h2_par, h2_par * mult2 + (char + 1)),
@@ -227,14 +272,57 @@ def beam_search_decode(
         ])
         parent = jnp.where(live, parent, arange_k[None, :])
         char = jnp.where(live, char, -1)
-        return merged, (parent, char)
 
-    final, (parents, emitted) = jax.lax.scan(
-        step, init, (log_probs, jnp.arange(T))
+        lm_out = lm_c
+        if use_lm:
+            # Reselect the LM view by parent, then advance only the beams
+            # that appended a character.
+            cum_par = _sel_k(lm_cum, sel_p)
+            logp_par = _sel_k(lm_logp, sel_p)            # (B, K, V)
+            char_oh = jnp.where(is_stay, 0, char)[:, :, None] == chars[None, None, :]
+            logp_char = jnp.sum(jnp.where(char_oh, logp_par, 0.0), axis=-1)
+            new_cum = jnp.where(is_stay, cum_par, cum_par + logp_char)
+
+            state_par = jax.tree.map(
+                lambda leaf: _sel_k(leaf.reshape(B, K, -1), sel_p), lm_state
+            )
+            adv_state, adv_logp = lm_advance(
+                jax.tree.map(lambda leaf: leaf.reshape(B * K, -1), state_par),
+                jnp.where(is_stay, 0, char).reshape(B * K),
+            )
+            keep_stay = is_stay[:, :, None]
+            new_logp = jnp.where(
+                keep_stay, logp_par, adv_logp.reshape(B, K, -1)[:, :, :V]
+            )
+            new_state = jax.tree.map(
+                lambda old, adv: jnp.where(
+                    keep_stay, old, adv.reshape(B, K, -1)
+                ),
+                state_par, adv_state,
+            )
+            # Freeze finished examples' LM view too.
+            live3 = live[:, :, None]
+            lm_out = (
+                jnp.where(live, new_cum, lm_cum),
+                jnp.where(live3, new_logp, lm_logp),
+                jax.tree.map(
+                    lambda n, o: jnp.where(live3, n, o.reshape(B, K, -1)),
+                    new_state, lm_state,
+                ),
+            )
+        return (merged, lm_out), (parent, char)
+
+    if use_lm:
+        lm0 = (lm0[0], lm0[1],
+               jax.tree.map(lambda leaf: leaf.reshape(B, K, -1), lm0[2]))
+    (final, lm_final), (parents, emitted) = jax.lax.scan(
+        step, (init, lm0), (log_probs, jnp.arange(T))
     )
 
     # --- backtrack ------------------------------------------------------
-    scores = jnp.logaddexp(final.p_b, final.p_nb)       # (B, K)
+    scores = jnp.logaddexp(final.p_b, final.p_nb)       # (B, K) AM
+    if use_lm:
+        scores = scores + lm_weight * lm_final[0]       # fused score
     order = jnp.argsort(-scores, axis=-1)
     order_oh = order[:, :, None] == arange_k[None, None, :]
     scores = _select_rows(scores, order_oh)

@@ -181,3 +181,18 @@ def test_train_language_from_text_corpus(workdir, capsys, tmp_path):
     flat = np.load(path)
     gate_shapes = [flat[k].shape for k in flat.files if "w_h" in k]
     assert all(s == (16, 64) for s in gate_shapes) and len(gate_shapes) == 2
+
+
+def test_file_with_lm_fusion(workdir, capsys, tmp_path):
+    """--file with --lm_weight decodes through AM+LM shallow fusion."""
+    root, cfg_path = workdir
+    # Train a tiny LM so a language checkpoint exists.
+    rc = main(["--train_language", "--config", cfg_path, "--max_steps", "2"])
+    assert rc == 0
+    capsys.readouterr()
+    wav = str(root / "corpus" / "dev" / "c0.wav")
+    rc = main(["--file", wav, "--config", cfg_path,
+               "--beam_width", "4", "--lm_weight", "0.5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert isinstance(out, str)  # decoded (possibly empty/garbage) text

@@ -37,6 +37,7 @@ class AcousticConfig:
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
     remat: bool = False
+    time_chunk: int = 0     # rematerialized scan chunking (0 = whole seq)
 
 
 def init_params(key: jax.Array, cfg: AcousticConfig) -> Params:
@@ -100,6 +101,7 @@ def forward(
         output_keep_prob=output_keep_prob,
         use_pallas=cfg.use_pallas,
         remat=cfg.remat,
+        time_chunk=cfg.time_chunk,
     )
 
     logits = (

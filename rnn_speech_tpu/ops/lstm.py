@@ -133,13 +133,29 @@ def lstm_stack(
     output_keep_prob: float = 1.0,
     use_pallas: bool = False,
     remat: bool = False,
+    time_chunk: int = 0,
 ) -> Tuple[jnp.ndarray, List[LayerState]]:
     """Run the full stack. Returns (outputs (T, B, H), new per-layer states).
 
     Dropout mirrors the reference's DropoutWrapper composition: each cell
     drops its input (input_keep_prob) and its output (output_keep_prob),
     training-only (pass dropout_rng=None for inference).
+
+    ``time_chunk > 0`` processes the sequence in rematerialized chunks of
+    that many steps with carried state — activation memory in the backward
+    pass drops from O(T) to O(time_chunk + T/time_chunk) at the cost of one
+    forward recomputation, the long-sequence recipe from SURVEY §2c (the
+    reference's streaming state chunking, applied to training memory).
     """
+    T = x.shape[0]
+    if time_chunk and T > time_chunk:
+        return _lstm_stack_chunked(
+            layers, x, seq_lengths, states,
+            compute_dtype=compute_dtype, dropout_rng=dropout_rng,
+            input_keep_prob=input_keep_prob,
+            output_keep_prob=output_keep_prob,
+            use_pallas=use_pallas, time_chunk=time_chunk,
+        )
     out = x
     new_states: List[LayerState] = []
     rng = dropout_rng
@@ -167,3 +183,40 @@ def lstm_stack(
             rng, sub = jax.random.split(rng)
             out = _dropout(sub, out, output_keep_prob)
     return out, new_states
+
+
+def _lstm_stack_chunked(
+    layers, x, seq_lengths, states, *, compute_dtype, dropout_rng,
+    input_keep_prob, output_keep_prob, use_pallas, time_chunk,
+):
+    """Outer scan over rematerialized time chunks of the full stack."""
+    T, B, D = x.shape
+    C = time_chunk
+    n_chunks = -(-T // C)
+    pad = n_chunks * C - T
+    xc = jnp.pad(x, ((0, pad), (0, 0), (0, 0))).reshape(n_chunks, C, B, D)
+    idx = jnp.arange(n_chunks)
+
+    def chunk_body(carry, inp):
+        states, rng = carry
+        x_chunk, i = inp
+        # Rows ending before/inside this chunk freeze via clipped lengths.
+        lens_c = jnp.clip(seq_lengths - i * C, 0, C)
+        sub = None
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        out, states = lstm_stack(
+            layers, x_chunk, lens_c, list(states),
+            compute_dtype=compute_dtype, dropout_rng=sub,
+            input_keep_prob=input_keep_prob,
+            output_keep_prob=output_keep_prob,
+            use_pallas=use_pallas,
+        )
+        return (states, rng), out
+
+    chunk_body = jax.checkpoint(chunk_body)
+    (states, _), outs = jax.lax.scan(
+        chunk_body, (list(states), dropout_rng), (xc, idx)
+    )
+    H = outs.shape[-1]
+    return outs.reshape(n_chunks * C, B, H)[:T], list(states)

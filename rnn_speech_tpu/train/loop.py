@@ -106,6 +106,7 @@ def train_acoustic(
         # TPU-only; the scan path is the CPU/debug fallback.
         use_pallas=tpu.use_pallas_lstm and jax.default_backend() != "cpu",
         remat=tpu.remat,
+        time_chunk=tpu.time_chunk,
     )
     scfg = step_mod.StepConfig(
         model=model_cfg,

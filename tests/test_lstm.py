@@ -205,3 +205,41 @@ def test_pallas_grads_masked_rows_passthrough(setup):
     np.testing.assert_allclose(np.asarray(gs[0][0]), 1.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gs[1][0]), 2.0, atol=1e-6)
     assert np.isfinite(np.asarray(gp["w_h"])).all()
+
+
+def test_time_chunked_matches_whole(setup):
+    """time_chunk processing == whole-sequence values AND gradients."""
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    states = lstm.zero_state(2, B, H)
+
+    def run(chunk):
+        def loss(ls, xx):
+            ys, st = lstm.lstm_stack(
+                ls, xx, seq_lengths, states, time_chunk=chunk
+            )
+            return jnp.sum(ys ** 2) + sum(jnp.sum(c) for c, h in st), ys
+        (val, ys), grads = jax.value_and_grad(loss, has_aux=True)(layers, x)
+        return val, ys, grads
+
+    v0, y0, g0 = run(0)
+    for chunk in (5, 4, T):   # non-dividing chunk exercises padding
+        v1, y1, g1 = run(chunk)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5, rtol=1e-5)
+
+
+def test_time_chunked_pallas_interpret(setup):
+    """Chunked path composes with the Pallas layer (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    states = lstm.zero_state(2, B, H)
+    y0, _ = lstm.lstm_stack(layers, x, seq_lengths, states)
+    with pltpu.force_tpu_interpret_mode():
+        y1, _ = lstm.lstm_stack(
+            layers, x, seq_lengths, states, use_pallas=True, time_chunk=4
+        )
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)

@@ -151,6 +151,10 @@ def train_acoustic(
 
     epoch = 0
     ordering = config.dataset_size_ordering
+    # Multi-host pods: each host feeds only its slice of the corpus.
+    train_set = pipe_mod.shard_for_host(train_set)
+    if test_set:
+        test_set = pipe_mod.shard_for_host(test_set)
 
     def make_train_iter():
         # With audio-width bucketing, sort shuffle-windows by duration so

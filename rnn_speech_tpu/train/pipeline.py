@@ -296,6 +296,30 @@ class InputPipeline:
                 yield self._assemble(items)
 
 
+def shard_for_host(
+    dataset: Sequence,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> List:
+    """Deterministic per-host slice of the dataset for multi-host pods.
+
+    Each host feeds only its own batch shard (SURVEY §2c: per-host input
+    sharding replaces the reference's single-process tf.data feed).  Strided
+    so duration-sorted datasets stay balanced across hosts.  Defaults to
+    the live JAX process topology; single-process setups return the
+    dataset unchanged.
+    """
+    import jax
+
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_count <= 1:
+        return list(dataset)
+    return list(dataset)[process_index::process_count]
+
+
 def order_by_duration(dataset: Sequence, window: Optional[int] = None) -> List:
     """Sort (optionally within shuffle windows) by duration — the bucketing
     complement to the reference's global dataset_size_ordering."""

@@ -265,3 +265,19 @@ def test_pipeline_bucketed_widths():
     # Lengths never exceed the bucket width.
     for b in batches:
         assert int(b["audio_lengths"].max()) <= b["audio"].shape[-1]
+
+
+def test_shard_for_host():
+    from rnn_speech_tpu.train import pipeline as pipe_mod
+
+    data = [[f"f{i}", "t", float(i)] for i in range(10)]
+    # Single process: unchanged.
+    assert pipe_mod.shard_for_host(data, 0, 1) == data
+    # Two hosts: strided, disjoint, exhaustive.
+    a = pipe_mod.shard_for_host(data, 0, 2)
+    b = pipe_mod.shard_for_host(data, 1, 2)
+    assert len(a) == len(b) == 5
+    assert sorted(map(tuple, a + b)) == sorted(map(tuple, data))
+    assert a[0][0] == "f0" and b[0][0] == "f1"
+    # Defaults resolve from the live (single-process) JAX topology.
+    assert pipe_mod.shard_for_host(data) == data

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""On-hardware numerics check: Pallas kernels vs scan paths on a real TPU.
+
+The pytest suite runs kernels in interpret mode on CPU; this script runs
+the same parity checks on the actual chip, where DEFAULT-precision f32
+matmuls round operands to bf16 on the MXU.  The acceptance criterion is
+therefore *relative to the platform's own noise floor*: the Pallas and
+scan paths must agree with each other far more tightly than either agrees
+with a CPU reference (both share the MXU rounding; a kernel bug would
+break their mutual agreement first).
+
+Run from the repo root on a TPU host:  python tools/hw_parity.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check_lstm() -> None:
+    from rnn_speech_tpu.ops import lstm, lstm_pallas
+
+    T, B, D, H = 96, 8, 16, 256
+    key = jax.random.PRNGKey(0)
+    layers = lstm.init_lstm_stack(key, 1, D, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, D))
+    lens = jnp.asarray([96, 50, 0, 96, 31, 96, 7, 96], jnp.int32)
+    state = (jnp.zeros((B, H)) + 0.2, jnp.zeros((B, H)) - 0.1)
+    wy = jax.random.normal(jax.random.PRNGKey(2), (T, B, H)) * 0.1
+
+    def loss(fn):
+        def inner(params, xx, st):
+            ys, (c, h) = fn(params, xx, lens, st)
+            return jnp.sum(ys * wy) + jnp.sum(c ** 2) + jnp.sum(jnp.abs(h))
+        return inner
+
+    ref = jax.jit(jax.grad(loss(lstm.lstm_layer_scan), argnums=(0, 1, 2)))(
+        layers[0], x, state)
+    pal = jax.jit(jax.grad(loss(lstm_pallas.lstm_layer_pallas),
+                           argnums=(0, 1, 2)))(layers[0], x, state)
+    for r, p in zip(jax.tree.leaves(ref), jax.tree.leaves(pal)):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-6
+        rel = float(jnp.max(jnp.abs(r - p))) / scale
+        assert rel < 2e-2, f"LSTM grad rel diff {rel:.3e} (scale {scale:.2e})"
+    y1, _ = jax.jit(lambda p, xx, st: lstm.lstm_layer_scan(p, xx, lens, st))(
+        layers[0], x, state)
+    y2, _ = jax.jit(lambda p, xx, st: lstm_pallas.lstm_layer_pallas(
+        p, xx, lens, st))(layers[0], x, state)
+    diff = float(jnp.max(jnp.abs(y1 - y2)))
+    assert diff < 1e-3, f"LSTM fwd diff {diff:.3e}"
+    print("LSTM pallas-vs-scan on hardware: OK")
+
+
+def check_ctc() -> None:
+    from rnn_speech_tpu.ops import ctc, ctc_pallas
+
+    T, B, V, L = 640, 6, 80, 120
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 1, (T, B, V)).astype(np.float32))
+    ll = jnp.asarray([640, 300, 640, 50, 0, 640], jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 78, (B, L)).astype(np.int32))
+    lab_len = jnp.asarray([120, 60, 30, 10, 5, 119], jnp.int32)
+
+    l_s = jax.jit(lambda lg: ctc.ctc_loss(lg, ll, labels, lab_len))(logits)
+    l_p = jax.jit(lambda lg: ctc_pallas.ctc_loss(lg, ll, labels, lab_len))(logits)
+    rel = float(jnp.max(jnp.abs(l_s - l_p) / jnp.maximum(jnp.abs(l_s), 1.0)))
+    assert rel < 5e-4, f"CTC loss rel diff {rel:.3e}"
+
+    g_s = jax.jit(jax.grad(lambda lg: jnp.sum(
+        ctc.ctc_loss(lg, ll, labels, lab_len))))(logits)
+    g_p = jax.jit(jax.grad(lambda lg: jnp.sum(
+        ctc_pallas.ctc_loss(lg, ll, labels, lab_len))))(logits)
+    diff = float(jnp.max(jnp.abs(g_s - g_p)))
+    assert diff < 5e-2, f"CTC grad diff {diff:.3e}"
+    print("CTC pallas-vs-scan on hardware: OK")
+
+
+def main() -> int:
+    print(f"devices: {jax.devices()}")
+    check_lstm()
+    check_ctc()
+    print("ALL HARDWARE PARITY CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

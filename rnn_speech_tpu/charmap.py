@@ -110,19 +110,33 @@ class CharMap:
 
         Unknown characters abort the remainder of the string with a warning,
         mirroring the reference's contract for dirty transcripts.
+
+        Deviation (deliberate): multi-char windows match EXACTLY except at
+        string position 0, where the reference's case-folding is kept
+        (util/dataprocessor.py:153-163 lowercases every window).  After
+        despacing, capitals exist only at word starts, so the reference's
+        ``.lower()`` makes a boundary like "that the" -> "ThatThe" match
+        the "tt" token across the word seam — silently deleting the space
+        from the label ("thatthe"); likewise "call Lloyd" loses Lloyd's
+        capital.  At position 0 there is no preceding boundary to lose, so
+        folding there preserves the reference's pinned encodings (e.g.
+        "bb" -> one token) while every interior boundary survives.
         """
         s = self._despace_capitalize(text)
         ids: List[int] = []
         i, n = 0, len(s)
         while i < n:
+            fold = i == 0
             if n - i >= 3:
-                hit = self._by3.get(s[i:i + 3].lower())
+                w = s[i:i + 3]
+                hit = self._by3.get(w.lower() if fold else w)
                 if hit is not None:
                     ids.append(hit)
                     i += 3
                     continue
             if n - i >= 2:
-                hit = self._by2.get(s[i:i + 2].lower())
+                w = s[i:i + 2]
+                hit = self._by2.get(w.lower() if fold else w)
                 if hit is not None:
                     ids.append(hit)
                     i += 2

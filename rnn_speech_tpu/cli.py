@@ -174,21 +174,22 @@ def _load_lm_stepper(config, char_map, lm_weight: float):
     return language.stepper(restored[0], cfg)
 
 
-def _transcribe_batch(model_cfg, params, feats_bm, frame_lengths, char_map,
-                      beam_width: int, lm=None, lm_weight: float = 0.0):
-    """feats (B, T, D) batch-major -> list of decoded strings."""
-    import functools
+import functools
 
+
+@functools.lru_cache(maxsize=8)
+def _make_infer(model_cfg, beam_width: int, lm, lm_weight: float):
+    """Build (and cache) the jitted forward+decode program — a fresh jit
+    wrapper per call would recompile the whole AM + beam search for every
+    evaluation batch."""
     import jax
     import jax.numpy as jnp
 
     from rnn_speech_tpu.models import acoustic
     from rnn_speech_tpu.ops import decode
 
-    B = feats_bm.shape[0]
-
-    @functools.partial(jax.jit, static_argnums=(0, 1))
-    def infer(model_cfg, beam_width, params, feats_bm, frame_lengths):
+    @jax.jit
+    def infer(params, feats_bm, frame_lengths):
         states = acoustic.zero_state(model_cfg, feats_bm.shape[0])
         logits, _ = acoustic.forward(
             params, model_cfg, jnp.transpose(feats_bm, (1, 0, 2)),
@@ -202,9 +203,17 @@ def _transcribe_batch(model_cfg, params, feats_bm, frame_lengths, char_map,
             return labels[:, 0], lengths[:, 0]
         return decode.greedy_decode(logits, frame_lengths)
 
-    labels, lengths = infer(
-        model_cfg, beam_width, params, jnp.asarray(feats_bm), frame_lengths
-    )
+    return infer
+
+
+def _transcribe_batch(model_cfg, params, feats_bm, frame_lengths, char_map,
+                      beam_width: int, lm=None, lm_weight: float = 0.0):
+    """feats (B, T, D) batch-major -> list of decoded strings."""
+    import jax.numpy as jnp
+
+    B = feats_bm.shape[0]
+    infer = _make_infer(model_cfg, beam_width, lm, lm_weight)
+    labels, lengths = infer(params, jnp.asarray(feats_bm), frame_lengths)
     out = []
     for b in range(B):
         ids = list(np.asarray(labels)[b, : int(lengths[b])])

@@ -212,7 +212,7 @@ def load_config(config_file: str) -> Config:
         mini_batch_size=cp.getint(ac, "mini_batch_size"),
         learning_rate=cp.getfloat(ac, "learning_rate"),
         lr_decay_factor=cp.getfloat(ac, "lr_decay_factor"),
-        grad_clip=float(cp.getint(ac, "grad_clip")),
+        grad_clip=cp.getfloat(ac, "grad_clip"),
         signal_processing=cp.get(ac, "signal_processing"),
         language=cp.get(ac, "language"),
         rnn_state_reset_ratio=cp.getfloat(ac, "rnn_state_reset_ratio"),

@@ -218,6 +218,11 @@ class AudioProcessor:
         return self.process_signal(sig, sr)
 
     def process_signal(self, sig: np.ndarray, sr: int) -> Tuple[np.ndarray, int]:
+        """Returns (features truncated to max_input_seq_length, ORIGINAL
+        frame count).  The pre-truncation length is the reference's
+        documented contract (audioprocessor.py:59 "original length before
+        padding") — callers use length > max to detect/skip too-long clips
+        and must clamp it before using it as a frame count."""
         feats, length = self._extract(sig, sr)
         if length > self.max_input_seq_length:
             feats = feats[: self.max_input_seq_length]

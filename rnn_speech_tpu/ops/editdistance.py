@@ -79,7 +79,10 @@ def error_rate(
                      jnp.where(pred_lengths > 0, jnp.inf, 0.0))
     # tf.edit_distance yields inf for empty truth with nonempty hypothesis;
     # the batch mean here masks those to keep training metrics finite.
-    finite = jnp.isfinite(rate)
-    return jnp.sum(jnp.where(finite, rate, 0.0)) / jnp.maximum(
-        jnp.sum(finite), 1
+    # Empty-truth rows are batch padding (the corpus filters labels <= 3
+    # chars), so they are excluded from the mean rather than counted as
+    # perfect matches.
+    counted = jnp.isfinite(rate) & (truth_lengths > 0)
+    return jnp.sum(jnp.where(counted, rate, 0.0)) / jnp.maximum(
+        jnp.sum(counted), 1
     )

@@ -44,7 +44,10 @@ def reset_coin(ratio: float) -> bool:
 
 
 class PlateauPolicy:
-    """7-strike plateau LR decay with clear-on-improvement."""
+    """Plateau LR decay with clear-on-improvement, exactly the reference's
+    accounting (stt.py:220-223): a new best clears the history and then
+    occupies a slot itself, so decay fires after the 6th consecutive
+    non-improving window (history length reaches 7 including the best)."""
 
     def __init__(self, decay_factor: float):
         self.decay_factor = decay_factor

@@ -34,8 +34,13 @@ def global_norm(tree: Pytree) -> jnp.ndarray:
 
 
 def clip_by_global_norm(grads: Pytree, clip: float) -> Tuple[Pytree, jnp.ndarray]:
-    """tf.clip_by_global_norm semantics: scale by clip/max(norm, clip)."""
+    """tf.clip_by_global_norm semantics: scale by clip/max(norm, clip).
+
+    clip <= 0 disables clipping (the documented config spelling for "no
+    clip") rather than zeroing every gradient."""
     norm = global_norm(grads)
+    if clip <= 0:
+        return grads, norm
     scale = clip / jnp.maximum(norm, clip)
     return jax.tree.map(lambda g: g * scale, grads), norm
 

@@ -101,7 +101,12 @@ def _micro_loss(params, cfg: StepConfig, states, feats, frame_lengths,
     per_example = _ctc_loss_fn(cfg)(logits, frame_lengths, labels, label_lengths)
     total = jnp.sum(per_example)          # grads of the SUM, like TF's Adam
     denom = jnp.maximum(frame_lengths.astype(jnp.float32), 1.0)
-    mean_loss = jnp.mean(per_example / denom)
+    # Short final batches are padded with empty rows (frame_lengths == 0);
+    # average only over real examples so the metric isn't diluted.
+    real = (frame_lengths > 0).astype(jnp.float32)
+    mean_loss = jnp.sum(per_example / denom * real) / jnp.maximum(
+        jnp.sum(real), 1.0
+    )
     return total, (mean_loss, logits, new_states)
 
 
@@ -231,7 +236,8 @@ def eval_step(
         per = _ctc_loss_fn(cfg)(logits, frame_lengths, micro["labels"],
                                 micro["label_lengths"])
         denom = jnp.maximum(frame_lengths.astype(jnp.float32), 1.0)
-        mean_loss = jnp.mean(per / denom)
+        real = (frame_lengths > 0).astype(jnp.float32)
+        mean_loss = jnp.sum(per / denom * real) / jnp.maximum(jnp.sum(real), 1.0)
         pred, pred_len = decode.greedy_decode(
             logits, frame_lengths, max_output=micro["labels"].shape[1]
         )

@@ -111,3 +111,13 @@ def test_get_char_map_registry():
     assert len(get_char_map("english")) == 80
     with pytest.raises(ValueError):
         get_char_map("klingon")
+
+
+def test_word_boundary_double_letters_roundtrip():
+    """Word seams like 'that the' must not collapse into double-letter
+    tokens (the reference's lowercased window matching lost the space)."""
+    from rnn_speech_tpu.charmap import CharMap
+
+    cm = CharMap()
+    for text in ("that the", "was seen", "his son", "at times", "will link"):
+        assert cm.decode(cm.encode(text)) == text

@@ -281,3 +281,54 @@ def test_shard_for_host():
     assert a[0][0] == "f0" and b[0][0] == "f1"
     # Defaults resolve from the live (single-process) JAX topology.
     assert pipe_mod.shard_for_host(data) == data
+
+
+def test_clip_zero_disables_clipping():
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.train import optim
+
+    grads = {"w": jnp.ones((4,)) * 10.0}
+    clipped, norm = optim.clip_by_global_norm(grads, 0.0)
+    np.testing.assert_allclose(np.asarray(clipped["w"]), 10.0)
+    clipped, _ = optim.clip_by_global_norm(grads, 1.0)
+    assert np.abs(np.asarray(clipped["w"])).max() < 10.0
+
+
+def test_metrics_ignore_padded_rows():
+    """Padding rows (zero frame/label lengths) don't dilute loss/error."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.train import step as step_mod
+
+    T, D, V = 30, 6, 8
+    rng = np.random.default_rng(0)
+    cfg = acoustic.AcousticConfig(num_layers=1, hidden_size=16, input_dim=D,
+                                  num_labels=V)
+    scfg = step_mod.StepConfig(model=cfg, input_keep_prob=1.0,
+                               output_keep_prob=1.0)
+
+    real_feats = rng.normal(0, 1, (2, T, D)).astype(np.float32)
+
+    def batch_for(B, real):
+        feats = np.zeros((1, B, T, D), np.float32)
+        feats[0, :real] = real_feats[:real]
+        labels = np.full((1, B, 5), -1, np.int32)
+        labels[0, :real, :3] = [1, 2, 3]
+        return {
+            "features": jnp.asarray(feats),
+            "frame_lengths": jnp.asarray([[T] * real + [0] * (B - real)]),
+            "labels": jnp.asarray(labels),
+            "label_lengths": jnp.asarray([[3] * real + [0] * (B - real)]),
+        }
+
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg, 4, 1e-3)
+    m_full = step_mod.eval_step(scfg, state, batch_for(2, 2))
+    state4 = step_mod.init_train_state(jax.random.PRNGKey(0), cfg, 4, 1e-3)
+    m_padded = step_mod.eval_step(scfg, state4, batch_for(4, 2))
+    np.testing.assert_allclose(float(m_padded["mean_loss"]),
+                               float(m_full["mean_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_padded["mean_error_rate"]),
+                               float(m_full["mean_error_rate"]), rtol=1e-5)

@@ -49,6 +49,8 @@ def _log_add3(a, b, c):
 
 
 def _shift_right(x: jnp.ndarray, fill: float = NEG_INF, by: int = 1) -> jnp.ndarray:
+    if by >= x.shape[-1]:  # S=1 when every label is empty
+        return jnp.full_like(x, fill)
     pad = jnp.full(x.shape[:-1] + (by,), fill, x.dtype)
     return jnp.concatenate([pad, x[..., :-by]], axis=-1)
 
@@ -149,8 +151,7 @@ def _ctc_bwd(blank_id, residuals, g):
      label_lengths, valid) = residuals
     T, B, V = log_probs.shape
     S = ext.shape[1]
-    if blank_id < 0:
-        blank_id = V + blank_id
+    # blank placement is already baked into the ext/skip_ok residuals
 
     lp_ext = jnp.take_along_axis(
         log_probs, jnp.broadcast_to(ext[None], (T, B, S)), axis=2
@@ -166,6 +167,8 @@ def _ctc_bwd(blank_id, residuals, g):
     )
 
     def _shift_left(x, fill=NEG_INF, by=1):
+        if by >= x.shape[-1]:
+            return jnp.full_like(x, fill)
         pad = jnp.full(x.shape[:-1] + (by,), fill, x.dtype)
         return jnp.concatenate([x[..., by:], pad], axis=-1)
 
@@ -210,9 +213,17 @@ def _ctc_bwd(blank_id, residuals, g):
 ctc_loss.defvjp(_ctc_fwd, _ctc_bwd)
 
 
-def ctc_loss_mean(logits, logit_lengths, labels, label_lengths, blank_id=-1):
+def mean_of(loss_fn, logits, logit_lengths, labels, label_lengths,
+            blank_id=-1):
     """Reference-style mean: per-example loss / input length, then batch mean
-    (/root/reference/models/AcousticModel.py:361)."""
-    per = ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id)
+    (/root/reference/models/AcousticModel.py:361).  Shared by the scan and
+    Pallas CTC implementations so the normalization convention cannot
+    silently diverge between them."""
+    per = loss_fn(logits, logit_lengths, labels, label_lengths, blank_id)
     denom = jnp.maximum(logit_lengths.astype(jnp.float32), 1.0)
     return jnp.mean(per / denom)
+
+
+def ctc_loss_mean(logits, logit_lengths, labels, label_lengths, blank_id=-1):
+    return mean_of(ctc_loss, logits, logit_lengths, labels, label_lengths,
+                   blank_id)

@@ -37,13 +37,17 @@ from rnn_speech_tpu.ops.ctc import (
 
 
 def _shift_right_lanes(x, by):
-    B = x.shape[0]
+    B, S = x.shape
+    if by >= S:  # all-empty labels: S = 2*0+1 = 1, nothing to shift in
+        return jnp.full_like(x, NEG_INF)
     pad = jnp.full((B, by), NEG_INF, x.dtype)
     return jnp.concatenate([pad, x[:, :-by]], axis=1)
 
 
 def _shift_left_lanes(x, by):
-    B = x.shape[0]
+    B, S = x.shape
+    if by >= S:
+        return jnp.full_like(x, NEG_INF)
     pad = jnp.full((B, by), NEG_INF, x.dtype)
     return jnp.concatenate([x[:, by:], pad], axis=1)
 
@@ -74,18 +78,62 @@ def _alpha_kernel(lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
         last_ref[:] = a_s[:]
 
 
-def _alphas_pallas(lp_ext, live, skip_ok):
+def _alpha_kernel_lossonly(lp_ref, live_ref, skip_ref, last_ref, a_s):
+    """Alpha recursion emitting only the terminal row (no residual stream)."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    lp = lp_ref[0]
+
+    @pl.when(t == 0)
+    def _():
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
+        a_s[:] = jnp.where(s_idx < 2, lp, NEG_INF)
+
+    @pl.when(t > 0)
+    def _():
+        alpha = a_s[:]
+        a1 = _shift_right_lanes(alpha, 1)
+        a2 = jnp.where(skip_ref[:] > 0, _shift_right_lanes(alpha, 2), NEG_INF)
+        new = _log_add3(alpha, a1, a2) + lp
+        live = live_ref[0, 0][:, None]
+        a_s[:] = jnp.where(live > 0, new, alpha)
+
+    @pl.when(t == T - 1)
+    def _():
+        last_ref[:] = a_s[:]
+
+
+def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True):
     """lp_ext (T, B, S), live (T, 1, B) float, skip_ok (B, S) float.
-    Returns (alphas (T, B, S), last (B, S))."""
+    Returns (alphas (T, B, S) or None, last (B, S))."""
     T, B, S = lp_ext.shape
+    in_specs = [
+        pl.BlockSpec((1, B, S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    cost = pl.CostEstimate(
+        flops=10 * T * B * S,
+        bytes_accessed=2 * T * B * S * 4,
+        transcendentals=4 * T * B * S,
+    )
+    if not emit_alphas:
+        (last,) = pl.pallas_call(
+            _alpha_kernel_lossonly,
+            grid=(T,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((B, S), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+            cost_estimate=cost,
+        )(lp_ext, live, skip_ok)
+        return None, last
     return pl.pallas_call(
         _alpha_kernel,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, B, S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, B, S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -95,11 +143,7 @@ def _alphas_pallas(lp_ext, live, skip_ok):
             jax.ShapeDtypeStruct((B, S), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=10 * T * B * S,
-            bytes_accessed=2 * T * B * S * 4,
-            transcendentals=4 * T * B * S,
-        ),
+        cost_estimate=cost,
     )(lp_ext, live, skip_ok)
 
 
@@ -197,7 +241,8 @@ def _lattice_inputs(log_probs, logit_lengths, labels, label_lengths, blank_id):
     return ext, skip_ok.astype(jnp.float32), lp_ext, live
 
 
-def _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths, blank_id):
+def _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths, blank_id,
+                  want_residuals):
     T, B, V = logits.shape
     if blank_id < 0:
         blank_id = V + blank_id
@@ -205,11 +250,21 @@ def _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths, blank_id):
     ext, skip_f, lp_ext, live = _lattice_inputs(
         log_probs, logit_lengths, labels, label_lengths, blank_id
     )
-    alphas, last = _alphas_pallas(lp_ext, live, skip_f)
+    # The loss-only path skips the (T, B, S) alphas HBM stream entirely —
+    # pallas_call outputs are opaque to XLA's DCE, so eval batches would
+    # otherwise pay the full residual write for a discarded array.
+    alphas, last = _alphas_pallas(
+        lp_ext, live, skip_f, emit_alphas=want_residuals
+    )
     logp = _terminal_logp(last, label_lengths)
     valid = (label_lengths <= logit_lengths) & (logit_lengths > 0)
     loss = jnp.where(valid, -logp, 0.0)
-    residuals = (log_probs, alphas, logp, ext, skip_f, lp_ext, live,
+    if not want_residuals:
+        return loss, None
+    # lp_ext is NOT kept: the backward pass recomputes it from log_probs +
+    # ext with one extra split-matmul instead of holding (T, B, S) floats
+    # live from forward to backward.
+    residuals = (log_probs, alphas, logp, ext, skip_f, live,
                  logit_lengths, label_lengths, valid)
     return loss, residuals
 
@@ -218,22 +273,22 @@ def _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths, blank_id):
 def ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id=-1):
     """Per-example CTC negative log-likelihood, shape (B,). Pallas-fused."""
     loss, _ = _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths,
-                            blank_id)
+                            blank_id, want_residuals=False)
     return loss
 
 
 def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id):
     return _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths,
-                         blank_id)
+                         blank_id, want_residuals=True)
 
 
 def _ctc_bwd(blank_id, residuals, g):
-    (log_probs, alphas, logp, ext, skip_f, lp_ext, live,
+    (log_probs, alphas, logp, ext, skip_f, live,
      logit_lengths, label_lengths, valid) = residuals
     T, B, V = log_probs.shape
     S = ext.shape[1]
-    if blank_id < 0:
-        blank_id = V + blank_id
+    onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)    # (B, S, V)
+    lp_ext = _split_matmul(log_probs, onehot, "tbv,bsv->tbs", terms=3)
 
     # Terminal beta at each row's last valid frame, and at t = T-1.
     s_idx = jnp.arange(S)[None, :]
@@ -256,7 +311,6 @@ def _ctc_bwd(blank_id, residuals, g):
         logp[:, None],
     )
 
-    onehot = jax.nn.one_hot(ext, V, dtype=post.dtype)     # (B, S, V)
     label_post = _split_matmul(post, onehot, "tbs,bsv->tbv")
     grad = jnp.exp(log_probs) - label_post
 
@@ -271,8 +325,7 @@ ctc_loss.defvjp(_ctc_fwd, _ctc_bwd)
 
 
 def ctc_loss_mean(logits, logit_lengths, labels, label_lengths, blank_id=-1):
-    """Reference-style mean: per-example loss / input length, then batch mean
-    (/root/reference/models/AcousticModel.py:361)."""
-    per = ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id)
-    denom = jnp.maximum(logit_lengths.astype(jnp.float32), 1.0)
-    return jnp.mean(per / denom)
+    from rnn_speech_tpu.ops.ctc import mean_of
+
+    return mean_of(ctc_loss, logits, logit_lengths, labels, label_lengths,
+                   blank_id)

@@ -166,10 +166,19 @@ def beam_search_decode(
         lm0 = None
 
     def _sel_k(field, sel_p):
-        """Per-beam selection by parent for (B, K, ...) fields via a small
-        einsum (DEFAULT precision: fine for LM activations/log-probs)."""
-        return jnp.einsum(
-            "bkj,bj...->bk...", sel_p.astype(field.dtype), field
+        """Per-beam selection by parent for (B, K, ...) fields.
+
+        These values are RESELECTED every frame, so per-step rounding would
+        random-walk into the fused scores over long utterances (DEFAULT
+        matmul precision rounds operands to bf16 on TPU).  A bf16-exact
+        high part plus a residual keeps the selection ~f32-exact while
+        staying on the MXU; XLA is barred from re-merging the two dots."""
+        sel = sel_p.astype(field.dtype)
+        hi = field.astype(jnp.bfloat16).astype(field.dtype)
+        lo = jax.lax.optimization_barrier(field - hi)
+        return (
+            jnp.einsum("bkj,bj...->bk...", sel, hi)
+            + jnp.einsum("bkj,bj...->bk...", sel, lo)
         )
 
     def step(carry, inp):

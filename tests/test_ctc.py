@@ -239,3 +239,51 @@ def test_pallas_grad_matches_scan():
     # Invalid example (labels longer than inputs): zero loss, zero grad.
     assert float(pal_loss[2]) == 0.0
     assert np.all(np.asarray(pal_grad)[:, 2, :] == 0.0)
+
+
+def test_all_empty_labels():
+    """A batch where every transcript is empty (S=1) is well-defined:
+    loss = -sum of blank log-probs over each row's frames."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rnn_speech_tpu.ops import ctc_pallas
+
+    T, B, V = 7, 2, 5
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 1.5, (T, B, V)).astype(np.float32))
+    labels = jnp.zeros((B, 0), jnp.int32)
+    lab_len = jnp.zeros((B,), jnp.int32)
+    ll = jnp.asarray([7, 4], jnp.int32)
+
+    lp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    expect = [-lp[:7, 0, V - 1].sum(), -lp[:4, 1, V - 1].sum()]
+
+    loss = ctc.ctc_loss(logits, ll, labels, lab_len)
+    np.testing.assert_allclose(np.asarray(loss), expect, rtol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        loss_p = ctc_pallas.ctc_loss(logits, ll, labels, lab_len)
+        grad_p = jax.grad(lambda lg: jnp.sum(
+            ctc_pallas.ctc_loss(lg, ll, labels, lab_len)))(logits)
+    np.testing.assert_allclose(np.asarray(loss_p), expect, rtol=1e-5)
+    grad_s = jax.grad(lambda lg: jnp.sum(
+        ctc.ctc_loss(lg, ll, labels, lab_len)))(logits)
+    np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_s),
+                               atol=1e-5)
+
+
+def test_pallas_loss_only_matches_grad_path(small_case):
+    """The loss-only kernel (primal, no residual stream) == the fwd-for-grad
+    value."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rnn_speech_tpu.ops import ctc_pallas
+
+    logits, logit_lengths, labels, label_lengths, V = small_case
+    args = (jnp.asarray(logits), jnp.asarray(logit_lengths),
+            jnp.asarray(labels), jnp.asarray(label_lengths))
+    with pltpu.force_tpu_interpret_mode():
+        primal = ctc_pallas.ctc_loss(*args)
+        value, _ = jax.value_and_grad(
+            lambda lg: jnp.sum(ctc_pallas.ctc_loss(lg, *args[1:]))
+        )(args[0])
+    np.testing.assert_allclose(float(jnp.sum(primal)), float(value), rtol=1e-6)

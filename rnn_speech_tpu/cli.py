@@ -376,10 +376,16 @@ def evaluate(config, prog, char_map) -> int:
     if not test_set:
         logger.fatal("No files in test set during an evaluation mode")
         return 1
+    # Duration order keeps each batch length-homogeneous so the bucketed
+    # padding below cuts real compute (the device frontend and decode are
+    # shape-polymorphic; one XLA compile per distinct width).
+    test_set = sorted(test_set, key=lambda item: item[2])
 
     model_cfg, fe, pcfg, params = _build_forward(
         config, char_map, config.batch_size
     )
+    bucket_count = max(config.tpu.bucket_count, 1)
+    unit = -(-pcfg.max_samples // bucket_count)
 
     from rnn_speech_tpu import audio_io
 
@@ -391,7 +397,9 @@ def evaluate(config, prog, char_map) -> int:
         if not batch_audio:
             return
         B = config.batch_size
-        audio = np.zeros((B, pcfg.max_samples), np.float32)
+        longest = max(batch_lengths)
+        width = min(max(1, -(-longest // unit)) * unit, pcfg.max_samples)
+        audio = np.zeros((B, width), np.float32)
         lengths = np.zeros((B,), np.int32)
         for i, (a, n) in enumerate(zip(batch_audio, batch_lengths)):
             audio[i, :n] = a[:n]

@@ -297,9 +297,16 @@ class HyperParamStore:
 
 
 def setup_logging(config: Config) -> None:
-    """Configure the logging framework per config (file + level)."""
+    """Configure the logging framework per config (file + level).
+
+    basicConfig always runs: the reference logged through the root-logger
+    module functions (which implicitly install a stderr handler); named
+    loggers don't, so without this INFO-level progress lines would
+    silently vanish."""
     if config.log_file:
         logging.basicConfig(filename=config.log_file)
+    else:
+        logging.basicConfig()
     level = getattr(logging, config.log_level, None)
     if not isinstance(level, int):
         raise ValueError(f"Invalid log level: {config.log_level}")

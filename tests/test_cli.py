@@ -196,3 +196,27 @@ def test_file_with_lm_fusion(workdir, capsys, tmp_path):
     assert rc == 0
     out = capsys.readouterr().out
     assert isinstance(out, str)  # decoded (possibly empty/garbage) text
+
+
+def test_sweep_tool(workdir, tmp_path):
+    """tools/sweep.py runs one training session per grid combination."""
+    root, cfg_path = workdir
+    tool = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "sweep.py")
+    out_dir = tmp_path / "sweep"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, tool, "--config", cfg_path, "--max_steps", "1",
+         "--out", str(out_dir),
+         "--set", "acoustic_network_params.hidden_size=16,24"],
+        capture_output=True, text=True, timeout=900, cwd=repo_root,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    runs = sorted(os.listdir(out_dir))
+    assert len(runs) == 2
+    for run in runs:
+        files = []
+        for _, _, names in os.walk(out_dir / run):
+            files.extend(names)
+        assert any(name.endswith(".npz") for name in files), (run, files)

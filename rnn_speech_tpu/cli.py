@@ -451,6 +451,57 @@ def evaluate(config, prog, char_map) -> int:
     return 0
 
 
+class StreamingTranscriber:
+    """Stateful chunk-at-a-time transcription (the ``--record`` engine).
+
+    The recurrent state persists across chunks — the functional analogue of
+    the reference's persistent state Variables (AcousticModel.py:261-298),
+    so transcription continues seamlessly across chunk boundaries.  Pulled
+    out of the pyaudio loop so the streaming math is testable without a
+    microphone.
+    """
+
+    def __init__(self, config, char_map):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from rnn_speech_tpu.models import acoustic
+        from rnn_speech_tpu.ops import decode as dec
+
+        model_cfg, fe, pcfg, params = _build_forward(config, char_map, 1)
+        self._params = params
+        self._pcfg = pcfg
+        self._char_map = char_map
+        self._states = acoustic.zero_state(model_cfg, 1)
+        self._jnp = jnp
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def chunk_step(params, audio, states, n):
+            feats, nf = fe(audio, n)
+            logits, states = acoustic.forward(
+                params, model_cfg, jnp.transpose(feats, (1, 0, 2)), nf, states
+            )
+            labels, lengths = dec.greedy_decode(logits, nf)
+            return labels, lengths, states
+
+        self._chunk_step = chunk_step
+
+    def feed(self, sig: np.ndarray) -> str:
+        """Consume one mono float32 chunk, return its decoded text."""
+        jnp = self._jnp
+        padded = np.zeros((1, self._pcfg.max_samples), np.float32)
+        n = min(len(sig), self._pcfg.max_samples)
+        padded[0, :n] = sig[:n]
+        labels, lengths, self._states = self._chunk_step(
+            self._params, jnp.asarray(padded), self._states,
+            jnp.asarray([n], dtype=jnp.int32),
+        )
+        ids = list(np.asarray(labels)[0, : int(lengths[0])])
+        return self._char_map.decode(ids)
+
+
 def record_and_write(config, prog, char_map) -> int:
     """Live microphone transcription with persistent streaming state."""
     try:
@@ -458,27 +509,8 @@ def record_and_write(config, prog, char_map) -> int:
     except ImportError:
         logger.fatal("--record requires pyaudio, which is not installed")
         return 1
-    import jax.numpy as jnp
 
-    import functools
-
-    import jax
-
-    from rnn_speech_tpu.models import acoustic
-    from rnn_speech_tpu.ops import decode as dec
-
-    model_cfg, fe, pcfg, params = _build_forward(config, char_map, 1)
-    states = acoustic.zero_state(model_cfg, 1)
-
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def chunk_step(params, audio, states, n):
-        feats, nf = fe(audio, n)
-        logits, states = acoustic.forward(
-            params, model_cfg, jnp.transpose(feats, (1, 0, 2)), nf, states
-        )
-        labels, lengths = dec.greedy_decode(logits, nf)
-        return labels, lengths, states
-
+    transcriber = StreamingTranscriber(config, char_map)
     _CHUNK = config.max_input_seq_length
     _SR = 22050
     pa = pyaudio.PyAudio()
@@ -488,15 +520,7 @@ def record_and_write(config, prog, char_map) -> int:
     while True:
         data = stream.read(_CHUNK)
         sig = np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
-        padded = np.zeros((1, pcfg.max_samples), np.float32)
-        n = min(len(sig), pcfg.max_samples)
-        padded[0, :n] = sig[:n]
-        labels, lengths, states = chunk_step(
-            params, jnp.asarray(padded), states,
-            jnp.asarray([n], dtype=jnp.int32),
-        )
-        ids = list(np.asarray(labels)[0, : int(lengths[0])])
-        print(char_map.decode(ids), end="", flush=True)
+        print(transcriber.feed(sig), end="", flush=True)
 
 
 def generate_text(config, prog, char_map) -> int:

@@ -220,3 +220,29 @@ def test_sweep_tool(workdir, tmp_path):
         for _, _, names in os.walk(out_dir / run):
             files.extend(names)
         assert any(name.endswith(".npz") for name in files), (run, files)
+
+
+def test_streaming_transcriber(workdir):
+    """The --record engine consumes chunks with persistent state: feeding a
+    clip in pieces produces output without crashing, and the recurrent
+    state carries across chunk boundaries (state changes between calls)."""
+    from rnn_speech_tpu.cli import StreamingTranscriber
+    from rnn_speech_tpu.config import load_config
+
+    root, cfg_path = workdir
+    config = load_config(cfg_path)
+    tr = StreamingTranscriber(config, __import__(
+        "rnn_speech_tpu.models.recognizer", fromlist=["SpeechRecognizer"]
+    ).SpeechRecognizer("english").get_char_map())
+
+    rng = np.random.default_rng(0)
+    sig = (0.3 * np.sin(2 * np.pi * 300 * np.arange(22050) / 22050)
+           + 0.01 * rng.normal(size=22050)).astype(np.float32)
+
+    state_before = [np.asarray(c).copy() for c, h in tr._states]
+    texts = [tr.feed(sig[:11025]), tr.feed(sig[11025:])]
+    state_after = [np.asarray(c) for c, h in tr._states]
+    assert all(isinstance(t, str) for t in texts)
+    assert any(
+        not np.array_equal(b, a) for b, a in zip(state_before, state_after)
+    )

@@ -5,10 +5,10 @@ Replaces the reference's TensorBoard summaries
 and error rate, per-layer recurrent-state histograms) and its numpy
 WER/CER Levenshtein helpers (AcousticModel.py:529-632).
 
-Deviation (documented): metrics land in append-only JSONL event files
-(``events.jsonl`` under <dir>/<run_name>/) instead of TF event protobufs —
-same information, grep-able, no TF dependency.  Histogram entries store
-summary statistics + fixed-width bucket counts.
+Metrics land in TWO sinks per run directory: real ``.tfevents`` protobuf
+records for stock TensorBoard (rnn_speech_tpu.train.tbevents, no TF
+dependency) and an append-only grep-able ``events.jsonl``.  Histogram
+entries store summary statistics + fixed-width bucket counts.
 """
 
 from __future__ import annotations
@@ -25,16 +25,20 @@ class MetricsWriter:
     """Append-only scalar/histogram event writer, one JSON object per line."""
 
     def __init__(self, base_dir: str, run_name: Optional[str] = None):
+        from rnn_speech_tpu.train.tbevents import TBEventWriter
+
         if run_name is None:
             run_name = time.strftime("%Y-%m-%d--%H-%M-%S")
         self.dir = os.path.join(base_dir, run_name)
         os.makedirs(self.dir, exist_ok=True)
         self.path = os.path.join(self.dir, "events.jsonl")
         self._fh = open(self.path, "a")
+        self._tb = TBEventWriter(self.dir)
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self._write({"kind": "scalar", "tag": tag, "value": float(value),
                      "step": int(step)})
+        self._tb.add_scalar(tag, float(value), int(step))
 
     def add_histogram(self, tag: str, values, step: int, bins: int = 30) -> None:
         arr = np.asarray(values).ravel().astype(np.float64)
@@ -48,6 +52,7 @@ class MetricsWriter:
             "counts": counts.tolist(),
             "edges": [float(e) for e in edges],
         })
+        self._tb.add_histogram(tag, arr, int(step), bins=bins)
 
     def _write(self, obj: dict) -> None:
         obj["wall_time"] = time.time()
@@ -56,6 +61,7 @@ class MetricsWriter:
 
     def close(self) -> None:
         self._fh.close()
+        self._tb.close()
 
 
 # ------------------------------------------------------------------ WER/CER

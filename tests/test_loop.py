@@ -145,3 +145,37 @@ def test_sweep_tool_dry_run(tmp_path):
     assert proc.returncode == 0, proc.stderr
     assert "num_layers-1" in proc.stdout and "num_layers-2" in proc.stdout
     assert (tmp_path / "runs" / "num_layers-2" / "config.ini").exists()
+
+
+def test_tbevents_readable_by_tensorboard(tmp_path):
+    """Our hand-rolled .tfevents records parse with TensorBoard's loader
+    (CRC32C framing + Event/Summary/Histogram protos)."""
+    pytest.importorskip("tensorboard.backend.event_processing")
+    from tensorboard.backend.event_processing import event_file_loader
+
+    from rnn_speech_tpu.train.tbevents import TBEventWriter
+
+    w = TBEventWriter(str(tmp_path))
+    w.add_scalar("train/loss", 1.25, step=7)
+    w.add_scalar("learning_rate", 3e-4, step=7)
+    rng = np.random.default_rng(0)
+    w.add_histogram("rnn/layer0_cell", rng.normal(0, 1, 512), step=7)
+    w.close()
+
+    loader = event_file_loader.EventFileLoader(w.path)
+    events = list(loader.Load())
+    assert events[0].file_version == "brain.Event:2"
+    # The loader's data-compat layer migrates legacy simple_value/histo
+    # fields into tensors; read the migrated form.
+    scalars = {}
+    histos = {}
+    for e in events:
+        for v in e.summary.value:
+            if v.metadata.plugin_data.plugin_name == "scalars":
+                scalars[v.tag] = (e.step, v.tensor.float_val[0])
+            elif v.metadata.plugin_data.plugin_name == "histograms":
+                histos[v.tag] = e.step
+    assert scalars["train/loss"] == (7, 1.25)
+    step, lr = scalars["learning_rate"]
+    assert step == 7 and abs(lr - 3e-4) < 1e-9
+    assert histos == {"rnn/layer0_cell": 7}

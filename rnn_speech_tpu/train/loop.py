@@ -185,10 +185,16 @@ def train_acoustic(
             train_iter = make_train_iter()
             return next(train_iter), True
 
-    trace_ctx = None
-    if timeline and config.tensorboard_dir:
-        trace_ctx = jax.profiler.trace(config.tensorboard_dir)
-        trace_ctx.__enter__()
+    # --timeline: like the reference's per-step chrome traces
+    # (stt.py:149-156 + AcousticModel._write_timeline, overwritten each
+    # step), capture a bounded window of steps rather than the whole
+    # session — traces of early steps include compilation, so the window
+    # starts after warmup and spans a handful of steady-state steps.
+    TRACE_FIRST, TRACE_LAST = 2, 4
+    tracing = False
+    if timeline and not config.tensorboard_dir:
+        logger.warning("--timeline needs tensorboard_dir; tracing disabled")
+        timeline = False
 
     try:
         while True:
@@ -198,6 +204,9 @@ def train_acoustic(
                 batch, rolled = next_batch()
                 if rolled and max_epoch is not None and epoch > max_epoch:
                     break
+                if timeline and not tracing and total_steps == TRACE_FIRST:
+                    jax.profiler.start_trace(config.tensorboard_dir)
+                    tracing = True
                 rng, sub = jax.random.split(rng)
                 state, metrics = train_fn(
                     scfg, state, put_batch(batch), sub,
@@ -214,6 +223,11 @@ def train_acoustic(
                     time.time() - t0,
                 )
                 t0 = time.time()
+                if tracing and total_steps >= TRACE_LAST:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    timeline = False     # one window per session
                 if max_steps is not None and total_steps >= max_steps:
                     break
 
@@ -262,8 +276,8 @@ def train_acoustic(
             if max_steps is not None and total_steps >= max_steps:
                 break
     finally:
-        if trace_ctx is not None:
-            trace_ctx.__exit__(None, None, None)
+        if tracing:
+            jax.profiler.stop_trace()
         if writer:
             writer.close()
     return state

@@ -121,3 +121,23 @@ def test_word_boundary_double_letters_roundtrip():
     cm = CharMap()
     for text in ("that the", "was seen", "his son", "at times", "will link"):
         assert cm.decode(cm.encode(text)) == text
+
+
+def test_random_sentence_roundtrip():
+    """Property: any sentence of lowercase words survives encode/decode."""
+    import random
+
+    from rnn_speech_tpu.charmap import CharMap
+
+    cm = CharMap()
+    rng = random.Random(0)
+    letters = "abcdefghijklmnopqrstuvwxyz'"
+    for _ in range(200):
+        words = [
+            "".join(rng.choice(letters) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        # Apostrophes can't start/end a word in the codec's grammar.
+        words = [w.strip("'") or "a" for w in words]
+        text = " ".join(words)
+        assert cm.decode(cm.encode(text)) == text, text

@@ -174,3 +174,25 @@ def test_error_rate_normalization():
     lens = jnp.asarray([3, 3], dtype=jnp.int32)
     rate = float(editdistance.error_rate(a, lens, b, lens))
     np.testing.assert_allclose(rate, (1 / 3 + 3 / 3) / 2, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed,V,K,blank", [
+    (3, 5, 8, 4), (4, 5, 4, 0), (5, 7, 3, 6), (6, 4, 6, 3), (7, 6, 2, 5),
+])
+def test_beam_oracle_fuzz(seed, V, K, blank):
+    """Broader beam-vs-oracle sweep: varied vocab/beam sizes and blank ids."""
+    rng = np.random.default_rng(seed)
+    T = int(rng.integers(6, 14))
+    logits = rng.normal(0, 1.8, (T, 1, V)).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits[:, 0]), axis=-1))
+
+    expected = host_prefix_beam_search(lp, K, blank=blank)
+    labels, lengths, scores = decode.beam_search_decode(
+        jnp.asarray(logits), jnp.asarray([T], dtype=jnp.int32),
+        beam_width=K, blank_id=blank,
+    )
+    got_best = list(np.asarray(labels)[0, 0, : int(lengths[0, 0])])
+    assert got_best == expected[0][0]
+    for i in range(min(K, len(expected), 3)):
+        np.testing.assert_allclose(float(scores[0, i]), expected[i][1],
+                                   rtol=1e-4)

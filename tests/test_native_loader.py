@@ -199,3 +199,35 @@ def test_large_list_lazy_submission(corpus):
         assert ld._submitted <= 2 * 4 + 4   # window, not len(paths)
         got = sum(1 for _, a, rc in ld if rc == 0)
     assert got == len(paths)
+
+
+def test_fuzz_no_crashes(tmp_path):
+    """Mutated/truncated containers must reject or decode — never crash the
+    worker threads (a native segfault would kill training)."""
+    rng = np.random.default_rng(0)
+    base_wav = str(tmp_path / "b.wav")
+    audio_io.write_wav(base_wav,
+                       (rng.normal(0, 0.2, 2000) * 20000).astype(np.int16),
+                       16000)
+    base_flac = str(tmp_path / "b.flac")
+    flac_enc.encode_flac(base_flac,
+                         (rng.normal(0, 0.2, 2000) * 20000).astype(np.int16),
+                         16000)
+    paths = []
+    for tag, base in (("w", base_wav), ("f", base_flac)):
+        data = bytearray(open(base, "rb").read())
+        for i in range(25):
+            mutated = bytearray(data)
+            for _ in range(rng.integers(1, 8)):
+                mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+            p = str(tmp_path / f"{tag}{i}.bin")
+            open(p, "wb").write(bytes(mutated))
+            paths.append(p)
+        for i in range(10):
+            p = str(tmp_path / f"{tag}t{i}.bin")
+            open(p, "wb").write(bytes(data[: rng.integers(1, len(data))]))
+            paths.append(p)
+    with loader.NativeAudioLoader(paths, max_samples=1 << 15,
+                                  target_rate=22050, n_threads=4) as ld:
+        results = list(ld)
+    assert len(results) == len(paths)   # every file answered, none wedged

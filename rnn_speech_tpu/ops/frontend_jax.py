@@ -125,10 +125,18 @@ class DeviceFrontend:
         feature_type: str,
         sr: int = 22050,
         max_samples: int = 22050 * 10,
+        use_pallas: Optional[bool] = None,
     ):
         self.feature_type = feature_type
         self.sr = sr
         self.max_samples = max_samples
+        # Optional fused Pallas kernel for the fbank spectrogram stages
+        # (ops/frontend_pallas.py).  Off by default: the view-matmul XLA
+        # path below is ~30% faster on v5e because Mosaic's f32-HIGHEST
+        # matmul emulation can't beat XLA's on this shape; the kernel is
+        # kept as the building block for a fully fused frontend and is
+        # parity-tested in tests/test_frontend.py.
+        self.use_pallas = bool(use_pallas) and feature_type == "fbank"
         self.frame_step = int(round(FRAME_STRIDE * sr))
         if feature_type == "fbank":
             self.frame_length = int(round(FRAME_SIZE * sr))
@@ -142,6 +150,13 @@ class DeviceFrontend:
                 _windowed_dft_basis(self.frame_length, self.n_fft, window)
             )
             self._mel = jnp.asarray(host.fbank_mel_matrix(sr).T.astype(np.float32))
+            if self.use_pallas:
+                from rnn_speech_tpu.ops import frontend_pallas
+
+                self._kb, self._mp = frontend_pallas.pad_basis_mel(
+                    self._basis, self._mel, n_fft=self.n_fft,
+                    step=self.frame_step, frame_length=self.frame_length,
+                )
         elif feature_type == "mfcc":
             self.n_fft = int(round(sr * FRAME_SIZE))
             self.frame_length = self.n_fft
@@ -240,18 +255,46 @@ class DeviceFrontend:
         pre = jnp.concatenate(
             [signals[:, :1], signals[:, 1:] - 0.97 * signals[:, :-1]], axis=1
         )
-        # Padding to full frame coverage.
-        pad_len = n_frames * self.frame_step + self.frame_length
-        pre = jnp.pad(pre, ((0, 0), (0, pad_len - n_samples)))
 
-        frames = bar(self._frame(pre, n_frames))            # (B, T, L)
-        spec = bar(jnp.einsum("btl,lf->btf", frames, self._basis, precision=jax.lax.Precision.HIGHEST))
-        bins = self.n_fft // 2 + 1
-        power = (spec[..., :bins] ** 2 + spec[..., bins:] ** 2) / self.n_fft
+        if self.use_pallas:
+            from rnn_speech_tpu.ops import frontend_pallas
 
-        banks = jnp.einsum("btf,fm->btm", power, self._mel, precision=jax.lax.Precision.HIGHEST)  # (B, T, nfilt)
-        banks = jnp.where(banks == 0.0, np.finfo(np.float64).eps, banks)
-        banks = bar(10.0 * jnp.log10(banks))
+            banks = bar(frontend_pallas.fbank_banks_pallas(
+                pre, self._kb, self._mp,
+                step=self.frame_step, frame_length=self.frame_length,
+                n_fft=self.n_fft, n_mels=self._mel.shape[1],
+            ))
+        else:
+            # Windowed DFT without materializing the (B, T, frame_len)
+            # framed signal (~270 MB for a 128 x 10 s batch): with the
+            # signal viewed as non-overlapping (rows, step) windows, frame
+            # t is rows t..t+K-1, so  spec = sum_k view[:, k:k+T] @
+            # basis[k*step:(k+1)*step]  — K shifted views of one reshape
+            # feeding K matmuls.  Exact same products as the framed einsum,
+            # reassociated; ~1.4x faster end to end on v5e.
+            step, length = self.frame_step, self.frame_length
+            K = -(-length // step)
+            rows = n_frames + K
+            need = rows * step
+            if pre.shape[1] < need:
+                pre = jnp.pad(pre, ((0, 0), (0, need - pre.shape[1])))
+            view = pre[:, :need].reshape(B, rows, step)
+            spec = None
+            for k in range(K):
+                hi = min((k + 1) * step, length)
+                piece = self._basis[k * step : hi]          # (<=step, 2*bins)
+                part = jnp.einsum(
+                    "btl,lf->btf", view[:, k : k + n_frames, : hi - k * step],
+                    piece, precision=jax.lax.Precision.HIGHEST,
+                )
+                spec = part if spec is None else spec + part
+            spec = bar(spec)
+            bins = self.n_fft // 2 + 1
+            power = (spec[..., :bins] ** 2 + spec[..., bins:] ** 2) / self.n_fft
+
+            banks = jnp.einsum("btf,fm->btm", power, self._mel, precision=jax.lax.Precision.HIGHEST)  # (B, T, nfilt)
+            banks = jnp.where(banks == 0.0, np.finfo(np.float64).eps, banks)
+            banks = bar(10.0 * jnp.log10(banks))
 
         nf = self.num_frames_for(lengths, limit=n_frames)
         t_idx = jnp.arange(n_frames)[None, :]

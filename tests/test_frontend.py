@@ -163,3 +163,37 @@ def test_device_frontend_shape_polymorphic():
             np.asarray(f_half)[0, :nf], np.asarray(f_full)[0, :nf],
             atol=2e-4, rtol=1e-4,
         )
+
+
+# ------------------------------------------------------- fused pallas kernel
+
+@pytest.mark.parametrize("sr", [22050, 16000])
+def test_fbank_pallas_kernel_matches_xla(sr):
+    """The fused spectrogram kernel (interpret mode on CPU) must match the
+    XLA view-matmul path bit-closely through the full frontend."""
+    rng = np.random.default_rng(7)
+    max_samples = sr * 2
+    x = rng.normal(0, 0.2, (3, max_samples)).astype(np.float32)
+    lens = np.asarray([max_samples, max_samples // 2, max_samples // 3],
+                      np.int32)
+
+    import rnn_speech_tpu.ops.frontend_pallas as fpal
+
+    fe_x = DeviceFrontend("fbank", sr=sr, max_samples=max_samples,
+                          use_pallas=False)
+    fe_p = DeviceFrontend("fbank", sr=sr, max_samples=max_samples,
+                          use_pallas=True)
+    orig = fpal.fbank_banks_pallas
+    # CPU test platform: run the kernel in interpret mode.
+    fpal_interp = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    fpal.fbank_banks_pallas = fpal_interp
+    try:
+        feats_p, nf_p = fe_p(x, lens)
+    finally:
+        fpal.fbank_banks_pallas = orig
+    feats_x, nf_x = fe_x(x, lens)
+    assert np.array_equal(np.asarray(nf_p), np.asarray(nf_x))
+    scale = max(1.0, np.abs(np.asarray(feats_x)).max())
+    np.testing.assert_allclose(
+        np.asarray(feats_p) / scale, np.asarray(feats_x) / scale, atol=2e-3
+    )

@@ -142,9 +142,6 @@ class DeviceFrontend:
             self.frame_length = int(round(FRAME_SIZE * sr))
             self.n_fft = host.FBANK_NFFT
             self.feature_size = host.FBANK_DIM
-            self.max_frames = int(
-                np.ceil(abs(max_samples - self.frame_length) / self.frame_step)
-            )
             window = np.hamming(self.frame_length)
             self._basis = jnp.asarray(
                 _windowed_dft_basis(self.frame_length, self.n_fft, window)
@@ -164,7 +161,6 @@ class DeviceFrontend:
             # Centered STFT over a reflect-padded signal: frame count is
             # 1 + (n + 2*(n_fft//2) - n_fft) // hop  (n_fft may be odd).
             self._center_slack = 2 * (self.n_fft // 2) - self.n_fft
-            self.max_frames = 1 + (max_samples + self._center_slack) // self.frame_step
             window = np.hanning(self.n_fft + 1)[:-1]
             self._basis = jnp.asarray(
                 _windowed_dft_basis(self.n_fft, self.n_fft, window)
@@ -181,6 +177,9 @@ class DeviceFrontend:
             self._dct = jnp.asarray(dct.astype(np.float32))
         else:
             raise ValueError(f"Unknown feature type {feature_type!r}")
+        # Single source of truth for frame counts: _frames_for_width (the
+        # per-example device-side count in num_frames_for mirrors it).
+        self.max_frames = self._frames_for_width(max_samples)
 
     # ------------------------------------------------------------------ call
 
@@ -261,7 +260,7 @@ class DeviceFrontend:
 
             banks = bar(frontend_pallas.fbank_banks_pallas(
                 pre, self._kb, self._mp,
-                step=self.frame_step, frame_length=self.frame_length,
+                step=self.frame_step, n_frames=n_frames,
                 n_fft=self.n_fft, n_mels=self._mel.shape[1],
             ))
         else:

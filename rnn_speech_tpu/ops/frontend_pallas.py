@@ -130,19 +130,19 @@ def fbank_banks_pallas(
     mp: jnp.ndarray,           # (bins_pad, MEL_PAD) padded mel matrix
     *,
     step: int,
-    frame_length: int,
+    n_frames: int,
     n_fft: int,
     n_mels: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Log-mel banks (B, n_frames, n_mels) via the fused kernel.
 
-    ``n_frames`` frames of ``frame_length`` samples at stride ``step``;
-    samples past ``n_fft`` never enter the DFT (rfft truncation), so the
-    kernel only touches L_eff = min(frame_length, n_fft) per frame.
+    ``n_frames`` frames at stride ``step`` (count computed by the caller's
+    ``DeviceFrontend._frames_for_width`` — single source of truth); samples
+    past ``n_fft`` never enter the DFT (rfft truncation), so the kernel
+    only touches L_eff = min(frame_length, n_fft) per frame.
     """
     B, n_samples = signals.shape
-    n_frames = int(np.ceil(abs(n_samples - frame_length) / step))
     bins_pad = mp.shape[0]
     lane = _round_up(step, 128)
     K = kb.shape[0] // lane

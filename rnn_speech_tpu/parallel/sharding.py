@@ -99,15 +99,20 @@ def _make_shard_map_fns(mesh: Mesh, state: step_mod.TrainState):
 
     def train_step_sm(scfg, state, batch, rng, reset_state):
         def body(state, batch, rng, reset_state):
+            import jax.numpy as jnp
+
             # Decorrelate dropout across batch shards.
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-            states, grads, loss, err = step_mod.accumulate_grads(
+            states, grads, loss_sum, err_sum, cnt = step_mod.accumulate_grads(
                 scfg, state["params"], state["states"], batch, rng,
                 axis_name="data",
             )
             grads = jax.lax.psum(grads, "data")       # THE gradient all-reduce
-            loss = jax.lax.pmean(loss, "data")
-            err = jax.lax.pmean(err, "data")
+            # Metric sums + real-microbatch counts psum'd before dividing:
+            # exact means even when batch padding is unevenly sharded.
+            denom = jnp.maximum(jax.lax.psum(cnt, "data"), 1.0)
+            loss = jax.lax.psum(loss_sum, "data") / denom
+            err = jax.lax.psum(err_sum, "data") / denom
             return step_mod.apply_grads(
                 scfg, state, states, grads, loss, err, reset_state
             )

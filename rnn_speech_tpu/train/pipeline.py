@@ -25,7 +25,7 @@ reference-style full padding (one compiled program).
 from __future__ import annotations
 
 import logging
-from concurrent.futures import FIRST_COMPLETED, ProcessPoolExecutor, wait
+from concurrent.futures import ProcessPoolExecutor, wait
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -282,7 +282,11 @@ class InputPipeline:
                     break
                 head = fifo[0]
                 if not head.done():
-                    wait(pending, return_when=FIRST_COMPLETED)
+                    # Wait on the head only: waiting on `pending` with
+                    # FIRST_COMPLETED busy-spins once any non-head future
+                    # finishes (done futures stay in the set until they
+                    # reach the FIFO head).
+                    wait([head])
                 while fifo and fifo[0].done():
                     fut = fifo.popleft()
                     pending.discard(fut)

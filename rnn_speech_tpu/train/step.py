@@ -118,12 +118,13 @@ def accumulate_grads(
     rng: jax.Array,
     axis_name: Optional[str] = None,
 ):
-    """Scan the microbatches: summed grads + metrics + threaded state.
+    """Scan the microbatches: summed grads + metric SUMS + threaded state.
 
-    This is the per-device half of a train step — under ``shard_map`` each
-    device runs it on its batch shard (pass ``axis_name`` so the scan
-    carries are typed as device-varying) and the results are psum-combined
-    before ``apply_grads``."""
+    Returns (states, grad_sum, loss_sum, err_sum, real_micro_count): the
+    metric sums are left undivided so that under ``shard_map`` the caller
+    can psum both sums and counts before dividing — exact even when batch
+    padding is unevenly sharded across devices (pass ``axis_name`` so the
+    scan carries are typed as device-varying)."""
     grad_zero = jax.tree.map(jnp.zeros_like, params)
     zero = jnp.zeros((), jnp.float32)
     if axis_name is not None:
@@ -131,7 +132,7 @@ def accumulate_grads(
         zero = _vary(zero, axis_name)
 
     def micro_body(carry, micro):
-        states, grad_acc, loss_acc, err_acc, mrng = carry
+        states, grad_acc, loss_acc, err_acc, cnt_acc, mrng = carry
         mrng, drop_rng = jax.random.split(mrng)
         feats, frame_lengths = _featurize_micro(cfg, micro)
         labels = micro["labels"]
@@ -150,13 +151,17 @@ def accumulate_grads(
         err = editdistance.error_rate(pred, pred_len, labels, label_lengths)
 
         grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
-        return (new_states, grad_acc, loss_acc + mean_loss, err_acc + err, mrng), None
+        # All-padding microbatches (short final macro batch) contribute 0
+        # to both accumulators; count only real ones so they don't dilute
+        # the means either.
+        real = (jnp.sum(frame_lengths > 0) > 0).astype(jnp.float32)
+        return (new_states, grad_acc, loss_acc + mean_loss, err_acc + err,
+                cnt_acc + real, mrng), None
 
-    (states, grad_sum, loss_sum, err_sum, _), _ = jax.lax.scan(
-        micro_body, (states, grad_zero, zero, zero, rng), batch
+    (states, grad_sum, loss_sum, err_sum, cnt, _), _ = jax.lax.scan(
+        micro_body, (states, grad_zero, zero, zero, zero, rng), batch
     )
-    num_micro = jax.tree.leaves(batch)[0].shape[0]
-    return states, grad_sum, loss_sum / num_micro, err_sum / num_micro
+    return states, grad_sum, loss_sum, err_sum, cnt
 
 
 def apply_grads(
@@ -203,11 +208,13 @@ def train_step(
     rng: jax.Array,
     reset_state: jnp.ndarray,        # bool scalar: zero recurrent state after
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    states, grad_sum, mean_loss, mean_err = accumulate_grads(
+    states, grad_sum, loss_sum, err_sum, cnt = accumulate_grads(
         cfg, state["params"], state["states"], batch, rng
     )
+    denom = jnp.maximum(cnt, 1.0)
     return apply_grads(
-        cfg, state, states, grad_sum, mean_loss, mean_err, reset_state
+        cfg, state, states, grad_sum, loss_sum / denom, err_sum / denom,
+        reset_state,
     )
 
 
@@ -228,7 +235,7 @@ def eval_step(
         zero = _vary(zero, axis_name)
 
     def micro_body(carry, micro):
-        loss_acc, err_acc = carry
+        loss_acc, err_acc, cnt_acc = carry
         feats, frame_lengths = _featurize_micro(cfg, micro)
         logits, _ = acoustic.forward(
             params, cfg.model, feats, frame_lengths, zero_states
@@ -244,13 +251,24 @@ def eval_step(
         err = editdistance.error_rate(
             pred, pred_len, micro["labels"], micro["label_lengths"]
         )
-        return (loss_acc + mean_loss, err_acc + err), None
+        # Don't let all-padding microbatches (small test sets) dilute the
+        # means the PlateauPolicy decays on.
+        any_real = (jnp.sum(real) > 0).astype(jnp.float32)
+        return (loss_acc + mean_loss, err_acc + err, cnt_acc + any_real), None
 
-    (loss_sum, err_sum), _ = jax.lax.scan(micro_body, (zero, zero), batch)
-    num_micro = jax.tree.leaves(batch)[0].shape[0]
+    (loss_sum, err_sum, cnt), _ = jax.lax.scan(
+        micro_body, (zero, zero, zero), batch
+    )
+    if axis_name is not None:
+        # Sum sums and counts across shards before dividing: exact even
+        # when padding is unevenly sharded.
+        loss_sum = jax.lax.psum(loss_sum, axis_name)
+        err_sum = jax.lax.psum(err_sum, axis_name)
+        cnt = jax.lax.psum(cnt, axis_name)
+    denom = jnp.maximum(cnt, 1.0)
     return {
-        "mean_loss": loss_sum / num_micro,
-        "mean_error_rate": err_sum / num_micro,
+        "mean_loss": loss_sum / denom,
+        "mean_error_rate": err_sum / denom,
     }
 
 

@@ -332,3 +332,44 @@ def test_metrics_ignore_padded_rows():
                                float(m_full["mean_loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_padded["mean_error_rate"]),
                                float(m_full["mean_error_rate"]), rtol=1e-5)
+
+
+def test_all_padding_microbatch_does_not_dilute_metrics(toy_batch):
+    """An all-padding microbatch (short final macro batch) must not lower
+    the reported mean loss / error rate."""
+    cfg = step_mod.StepConfig(model=make_cfg())
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 3, 0.0)
+
+    real = {k: np.asarray(v)[:1] for k, v in toy_batch.items()}
+    padded = {
+        "features": np.concatenate(
+            [real["features"], np.zeros_like(real["features"])], axis=0
+        ),
+        "frame_lengths": np.concatenate(
+            [real["frame_lengths"], np.zeros_like(real["frame_lengths"])], axis=0
+        ),
+        "labels": np.concatenate(
+            [real["labels"], np.full_like(real["labels"], -1)], axis=0
+        ),
+        "label_lengths": np.concatenate(
+            [real["label_lengths"], np.zeros_like(real["label_lengths"])], axis=0
+        ),
+    }
+    rng = jax.random.PRNGKey(1)
+    off = jnp.asarray(False)
+    # lr=0 so both calls see identical parameters.
+    _, m_real = step_mod.train_step(cfg, state, real, rng, off)
+    state2 = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 3, 0.0)
+    _, m_pad = step_mod.train_step(cfg, state2, padded, rng, off)
+    np.testing.assert_allclose(
+        float(m_pad["mean_loss"]), float(m_real["mean_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_pad["mean_error_rate"]), float(m_real["mean_error_rate"]),
+        rtol=1e-5,
+    )
+    ev_real = step_mod.eval_step(cfg, state, real)
+    ev_pad = step_mod.eval_step(cfg, state, padded)
+    np.testing.assert_allclose(
+        float(ev_pad["mean_loss"]), float(ev_real["mean_loss"]), rtol=1e-5
+    )

@@ -227,9 +227,13 @@ def train_acoustic(config, prog, train_set, test_set, char_map) -> int:
     from rnn_speech_tpu.parallel import mesh as mesh_mod
     from rnn_speech_tpu.train import loop
 
+    # CLI flags override the [tpu] config section; 0 = all devices.
+    data = prog["mesh_data"] if prog["mesh_data"] != 1 else config.tpu.mesh_data
+    model = (prog["mesh_model"] if prog["mesh_model"] != 1
+             else config.tpu.mesh_model)
     mesh = None
-    if prog["mesh_data"] > 1 or prog["mesh_model"] > 1:
-        mesh = mesh_mod.make_mesh(prog["mesh_data"], prog["mesh_model"])
+    if data != 1 or model != 1:
+        mesh = mesh_mod.make_mesh(data, model)
     loop.train_acoustic(
         config, train_set, test_set, char_map,
         max_epoch=prog["max_epoch"],

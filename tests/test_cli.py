@@ -246,3 +246,20 @@ def test_streaming_transcriber(workdir):
     assert any(
         not np.array_equal(b, a) for b, a in zip(state_before, state_after)
     )
+
+
+def test_train_acoustic_mesh_from_config(workdir, tmp_path_factory):
+    """[tpu] mesh_data in config.ini must shard training without CLI flags
+    (conftest provides an 8-device virtual CPU mesh)."""
+    root, cfg = workdir
+    base = open(cfg).read().replace(
+        "[tpu]", "[tpu]\nmesh_data : 2"
+    ).replace(str(root / "ckpt"), str(root / "ckpt_mesh"))
+    cfg2 = tmp_path_factory.mktemp("meshcfg") / "config.ini"
+    cfg2.write_text(base)
+    rc = main(["--train_acoustic", "--config", str(cfg2), "--max_steps", "2"])
+    assert rc == 0
+    assert any(
+        name.endswith(".npz")
+        for name in os.listdir(str(root / "ckpt_mesh" / "acoustic"))
+    )

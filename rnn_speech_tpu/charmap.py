@@ -120,23 +120,27 @@ class CharMap:
         from the label ("thatthe"); likewise "call Lloyd" loses Lloyd's
         capital.  At position 0 there is no preceding boundary to lose, so
         folding there preserves the reference's pinned encodings (e.g.
-        "bb" -> one token) while every interior boundary survives.
+        "bb" -> one token) while every interior boundary survives — but
+        only when the window stays INSIDE the first word: a capital at
+        window position >= 1 is the second word's start ("e ebb" ->
+        "EEbb"), and folding across it would delete that boundary too.
         """
         s = self._despace_capitalize(text)
         ids: List[int] = []
         i, n = 0, len(s)
         while i < n:
-            fold = i == 0
+            def _fold_ok(w: str) -> bool:
+                return i == 0 and not any(c.isupper() for c in w[1:])
             if n - i >= 3:
                 w = s[i:i + 3]
-                hit = self._by3.get(w.lower() if fold else w)
+                hit = self._by3.get(w.lower() if _fold_ok(w) else w)
                 if hit is not None:
                     ids.append(hit)
                     i += 3
                     continue
             if n - i >= 2:
                 w = s[i:i + 2]
-                hit = self._by2.get(w.lower() if fold else w)
+                hit = self._by2.get(w.lower() if _fold_ok(w) else w)
                 if hit is not None:
                     ids.append(hit)
                     i += 2

@@ -141,3 +141,55 @@ def test_random_sentence_roundtrip():
         words = [w.strip("'") or "a" for w in words]
         text = " ".join(words)
         assert cm.decode(cm.encode(text)) == text, text
+
+
+def test_parity_against_reference_codec():
+    """Direct behavioral parity with the reference's label codec
+    (/root/reference/util/dataprocessor.py get_str_labels/get_labels_str)
+    on random sentences, wherever the reference's own roundtrip is
+    lossless.  Where its roundtrip loses word boundaries (its lowercased
+    window matching — see README 'Documented deviations'), ours must still
+    reproduce the input exactly.  Skipped when the reference checkout is
+    not available."""
+    import importlib
+    import os
+    import random
+    import sys
+    import types
+
+    ref_root = "/root/reference"
+    if not os.path.isdir(ref_root):
+        pytest.skip("reference checkout not available")
+    # The reference module imports mutagen (unavailable here) at module
+    # scope; the codec statics don't use it, so stub it out.
+    sys.modules.setdefault("mutagen", types.ModuleType("mutagen"))
+    sys.path.insert(0, ref_root)
+    try:
+        ref = importlib.import_module("util.dataprocessor")
+    finally:
+        sys.path.remove(ref_root)
+
+    from rnn_speech_tpu.charmap import (ENGLISH_CHAR_MAP, clean_label,
+                                        get_char_map)
+
+    cm = get_char_map("english")
+    char_map = list(ENGLISH_CHAR_MAP)
+    words = ["hello", "world", "it'll", "that", "the", "good", "ebb",
+             "aa", "ss", "miss", "dog's", "i'm", "off", "e", "tt"]
+    rng = random.Random(7)
+    checked_equal = 0
+    for _ in range(300):
+        sentence = " ".join(rng.choice(words)
+                            for _ in range(rng.randint(1, 6)))
+        cleaned = ref.DataProcessor.clean_label(sentence)
+        assert clean_label(sentence) == cleaned
+        ref_ids = ref.DataProcessor.get_str_labels(char_map, cleaned)
+        ref_text = ref.DataProcessor.get_labels_str(char_map, ref_ids)
+        ours_ids = cm.encode(cleaned, add_eos=True)
+        if ref_text == cleaned:
+            # Reference is lossless here: require identical integer labels.
+            assert ours_ids == ref_ids, (cleaned, ours_ids, ref_ids)
+            checked_equal += 1
+        # Our roundtrip must always reproduce the cleaned input.
+        assert cm.decode(cm.encode(cleaned)) == cleaned
+    assert checked_equal > 50  # the lossless case must actually be exercised

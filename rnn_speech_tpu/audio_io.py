@@ -239,7 +239,13 @@ def probe_duration(path: str) -> float:
     if magic == b"NIST":
         return _probe_sphere_duration(path)
     if magic == b"OggS":
-        return _probe_ogg_duration(path)
+        # Probing must stay no-wider than decode_audio: accepting Ogg here
+        # would let Ogg corpora pass the dataset filter only to fail on
+        # every clip at load time.  (_probe_ogg_duration remains available
+        # for direct use.)
+        raise AudioFormatError(
+            f"Ogg container probed but decoding is not supported: {path}"
+        )
     raise AudioFormatError(f"Unrecognized audio container: {path}")
 
 

@@ -227,9 +227,11 @@ def train_acoustic(config, prog, train_set, test_set, char_map) -> int:
     from rnn_speech_tpu.parallel import mesh as mesh_mod
     from rnn_speech_tpu.train import loop
 
-    # CLI flags override the [tpu] config section; 0 = all devices.
-    data = prog["mesh_data"] if prog["mesh_data"] != 1 else config.tpu.mesh_data
-    model = (prog["mesh_model"] if prog["mesh_model"] != 1
+    # CLI flags override the [tpu] config section; 0 = all devices.  The
+    # argparse default is None (= inherit from config) so an explicit
+    # `--mesh_data 1` can override a config mesh back to single-device.
+    data = prog["mesh_data"] if prog["mesh_data"] is not None else config.tpu.mesh_data
+    model = (prog["mesh_model"] if prog["mesh_model"] is not None
              else config.tpu.mesh_model)
     mesh = None
     if data != 1 or model != 1:
@@ -428,11 +430,38 @@ def evaluate(config, prog, char_map) -> int:
         batch_lengths.clear()
         batch_truth.clear()
 
-    for file, label, _ in test_set:
-        try:
-            sig, _sr = audio_io.load(file, sr=pcfg.sample_rate)
-        except (audio_io.AudioFormatError, OSError, ValueError) as exc:
-            logger.warning("Skipping unreadable %s: %s", file, exc)
+    # Decode through the native async loader when available so container
+    # decode + resample overlap with on-device inference (the serial
+    # audio_io.load path would leave the TPU idle between flushes).  The
+    # loader truncates at max_samples + 1, so a clip delivered longer than
+    # max_samples is exactly the serial path's "sample too long" case.
+    def _iter_decoded():
+        from rnn_speech_tpu.runtime import loader as native_loader
+
+        paths = [item[0] for item in test_set]
+        if native_loader.available():
+            with native_loader.NativeAudioLoader(
+                paths,
+                max_samples=pcfg.max_samples + 1,
+                target_rate=pcfg.sample_rate,
+                n_threads=4,
+                capacity=max(4 * config.batch_size, 8),
+            ) as ld:
+                for idx, sig, rc in ld:
+                    err = f"native decoder rc {rc}" if sig is None else None
+                    yield idx, sig, err
+            return
+        for idx, path in enumerate(paths):
+            try:
+                sig, _sr = audio_io.load(path, sr=pcfg.sample_rate)
+                yield idx, sig, None
+            except (audio_io.AudioFormatError, OSError, ValueError) as exc:
+                yield idx, None, str(exc)
+
+    for idx, sig, err in _iter_decoded():
+        file, label, _ = test_set[idx]
+        if err is not None:
+            logger.warning("Skipping unreadable %s: %s", file, err)
             continue
         if len(sig) > pcfg.max_samples or len(label) > config.max_target_seq_length:
             logger.warning("Warning - sample too long : %s (input : %d)",
@@ -465,7 +494,7 @@ class StreamingTranscriber:
     microphone.
     """
 
-    def __init__(self, config, char_map):
+    def __init__(self, config, char_map, chunk_seconds: float = 1.0):
         import functools
 
         import jax
@@ -480,6 +509,15 @@ class StreamingTranscriber:
         self._char_map = char_map
         self._states = acoustic.zero_state(model_cfg, 1)
         self._jnp = jnp
+        # Feed() pads each chunk to this width and the jitted step compiles
+        # once for it.  The reference passed max_input_seq_length (a FRAME
+        # count) as the pyaudio sample count — ~45 ms chunks each padded to
+        # the full grid, ~200x redundant compute; here the capture chunk and
+        # the compiled width agree, sized in samples.
+        self.sample_rate = pcfg.sample_rate
+        self.chunk_samples = max(
+            1, min(pcfg.max_samples, int(round(pcfg.sample_rate * chunk_seconds)))
+        )
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def chunk_step(params, audio, states, n):
@@ -495,8 +533,11 @@ class StreamingTranscriber:
     def feed(self, sig: np.ndarray) -> str:
         """Consume one mono float32 chunk, return its decoded text."""
         jnp = self._jnp
-        padded = np.zeros((1, self._pcfg.max_samples), np.float32)
         n = min(len(sig), self._pcfg.max_samples)
+        # Oversized chunks widen the compiled shape (one compile per width);
+        # the steady-state capture chunk hits a single compilation.
+        width = min(self._pcfg.max_samples, max(self.chunk_samples, n))
+        padded = np.zeros((1, width), np.float32)
         padded[0, :n] = sig[:n]
         labels, lengths, self._states = self._chunk_step(
             self._params, jnp.asarray(padded), self._states,
@@ -515,8 +556,8 @@ def record_and_write(config, prog, char_map) -> int:
         return 1
 
     transcriber = StreamingTranscriber(config, char_map)
-    _CHUNK = config.max_input_seq_length
-    _SR = 22050
+    _CHUNK = transcriber.chunk_samples
+    _SR = transcriber.sample_rate
     pa = pyaudio.PyAudio()
     stream = pa.open(format=pyaudio.paInt16, channels=1, rate=_SR, input=True,
                      frames_per_buffer=_CHUNK)
@@ -574,10 +615,12 @@ def parse_args(argv=None) -> dict:
                         help="Shallow-fusion weight for the char-LM during "
                              "beam decoding (0 = AM only; needs a trained "
                              "language checkpoint)")
-    parser.add_argument("--mesh_data", type=int, default=1,
-                        help="Data-parallel mesh axis size for training")
-    parser.add_argument("--mesh_model", type=int, default=1,
-                        help="Model-parallel mesh axis size for training")
+    parser.add_argument("--mesh_data", type=int, default=None,
+                        help="Data-parallel mesh axis size for training "
+                             "(default: [tpu] mesh_data from the config)")
+    parser.add_argument("--mesh_model", type=int, default=None,
+                        help="Model-parallel mesh axis size for training "
+                             "(default: [tpu] mesh_model from the config)")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="Stop training after this many steps")
 

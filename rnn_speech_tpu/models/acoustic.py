@@ -63,7 +63,15 @@ def zero_state(cfg: AcousticConfig, batch_size: int) -> States:
 
 def _batch_norm(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
     """Normalize over the batch axis per (time, feature) — the reference's
-    tf.nn.moments(axes=[1]) + batch_normalization with no scale/offset."""
+    tf.nn.moments(axes=[1]) + batch_normalization with no scale/offset.
+
+    Deviation: with batch size 1 the reference's formula degenerates to
+    identically-zero activations (mean == x, var == 0), which makes
+    batch-1 inference (``--file``/``--record``) independent of the audio.
+    The batch axis is static under jit, so we make B == 1 an identity
+    instead of silently erasing the input."""
+    if x.shape[1] == 1:
+        return x
     mean = jnp.mean(x, axis=1, keepdims=True)
     var = jnp.var(x, axis=1, keepdims=True)
     return (x - mean) * jax.lax.rsqrt(var + eps)

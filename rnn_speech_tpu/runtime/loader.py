@@ -86,13 +86,18 @@ class NativeAudioLoader:
         # the whole (possibly corpus-sized) path list through the FFI and
         # into the C++ task deque up front.
         self._submitted = 0
+        self._delivered = 0
         self._window = max(2 * int(capacity), int(n_threads) * 2)
         self._closed = False
         self._fill()
         self._buf = np.empty((self._max_samples,), np.float32)
 
     def _fill(self) -> None:
-        target = min(len(self._paths), self._submitted + self._window)
+        # Keep at most `window` undelivered items in flight: the target is
+        # anchored to items *delivered*, not items submitted, so submission
+        # advances in lockstep with consumption instead of by `window` per
+        # __next__ call (which would eagerly push the whole corpus).
+        target = min(len(self._paths), self._delivered + self._window)
         while self._submitted < target:
             self._lib.rst_loader_submit(
                 self._handle, self._submitted, self._paths[self._submitted]
@@ -119,6 +124,7 @@ class NativeAudioLoader:
         if rc == -1:
             self.close()
             raise StopIteration
+        self._delivered += 1
         if rc != 0:
             return int(index.value), None, rc
         return int(index.value), self._buf[: n.value].copy(), 0

@@ -46,6 +46,27 @@ class BitReader {
     return true;
   }
 
+  // Read up to 57 bits, MSB first — sample reads can need 33 bits (32-bps
+  // stream + the side channel's extra bit), beyond read_bits' 32-bit out.
+  bool read_bits64(int n, uint64_t* out) {
+    while (nbits_ < n) {
+      if (byte_pos_ >= size_) return false;
+      buf_ = (buf_ << 8) | data_[byte_pos_++];
+      nbits_ += 8;
+    }
+    *out = (buf_ >> (nbits_ - n)) & ((n >= 64) ? ~0ull : ((1ull << n) - 1));
+    nbits_ -= n;
+    return true;
+  }
+
+  bool read_signed64(int n, int64_t* out) {
+    uint64_t v;
+    if (!read_bits64(n, &v)) return false;
+    if (n > 0 && n < 64 && (v >> (n - 1))) v |= ~((1ull << n) - 1);
+    *out = (int64_t)v;
+    return true;
+  }
+
   // Count zero bits until a 1 bit (unary code).
   bool read_unary(uint32_t* out) {
     uint32_t count = 0;
@@ -155,20 +176,20 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
 
   samples.assign(blocksize, 0);
   if (type_code == 0) {  // CONSTANT
-    int32_t v;
-    if (!br.read_signed(bps, &v)) return false;
+    int64_t v;
+    if (!br.read_signed64(bps, &v)) return false;
     for (int i = 0; i < blocksize; ++i) samples[i] = v;
   } else if (type_code == 1) {  // VERBATIM
     for (int i = 0; i < blocksize; ++i) {
-      int32_t v;
-      if (!br.read_signed(bps, &v)) return false;
+      int64_t v;
+      if (!br.read_signed64(bps, &v)) return false;
       samples[i] = v;
     }
   } else if (type_code >= 8 && type_code <= 12) {  // FIXED, order 0-4
     const int order = (int)type_code - 8;
     for (int i = 0; i < order; ++i) {
-      int32_t v;
-      if (!br.read_signed(bps, &v)) return false;
+      int64_t v;
+      if (!br.read_signed64(bps, &v)) return false;
       samples[i] = v;
     }
     if (!decode_residual(br, order, blocksize, samples)) return false;
@@ -197,8 +218,8 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
   } else if (type_code >= 32) {  // LPC, order 1-32
     const int order = (int)(type_code & 31) + 1;
     for (int i = 0; i < order; ++i) {
-      int32_t v;
-      if (!br.read_signed(bps, &v)) return false;
+      int64_t v;
+      if (!br.read_signed64(bps, &v)) return false;
       samples[i] = v;
     }
     uint32_t precision_m1;

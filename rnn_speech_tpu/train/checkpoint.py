@@ -75,8 +75,11 @@ def save(
     with open(tmp, "wb") as fh:
         np.savez(fh, **flat)
     os.replace(tmp, path)
-    with open(os.path.join(checkpoint_dir, POINTER_FILE), "w") as fh:
+    pointer = os.path.join(checkpoint_dir, POINTER_FILE)
+    pointer_tmp = pointer + ".tmp"
+    with open(pointer_tmp, "w") as fh:
         json.dump({"latest": name}, fh)
+    os.replace(pointer_tmp, pointer)
     logger.info("Checkpoint saved: %s", path)
     return path
 
@@ -84,11 +87,18 @@ def save(
 def latest_path(checkpoint_dir: str) -> Optional[str]:
     pointer = os.path.join(checkpoint_dir, POINTER_FILE)
     if os.path.exists(pointer):
-        with open(pointer) as fh:
-            name = json.load(fh).get("latest")
-        path = os.path.join(checkpoint_dir, name)
-        if os.path.exists(path):
-            return path
+        # Tolerate a corrupt/truncated pointer (e.g. crash mid-write on a
+        # pre-atomic-rename version): fall through to the directory scan,
+        # which recovers from the atomically-written bundles themselves.
+        try:
+            with open(pointer) as fh:
+                name = json.load(fh).get("latest")
+        except (json.JSONDecodeError, OSError):
+            name = None
+        if name:
+            path = os.path.join(checkpoint_dir, name)
+            if os.path.exists(path):
+                return path
     # Fallback: scan for the highest step.
     if not os.path.isdir(checkpoint_dir):
         return None

@@ -186,7 +186,17 @@ def train_acoustic(
                 logger.info("Shuffling the training dataset")
                 shuffle(train_set)
             train_iter = make_train_iter()
-            return next(train_iter), True
+            try:
+                return next(train_iter), True
+            except StopIteration:
+                # Non-empty file list but every clip was skipped by the
+                # pipeline (undecodable audio, decoder errors): surface a
+                # diagnosis instead of a bare StopIteration from the loop.
+                raise RuntimeError(
+                    "Training pipeline produced no batches: every file in "
+                    "the dataset was skipped (unreadable or undecodable "
+                    "audio). Check the audio format and decoder logs."
+                ) from None
 
     # --timeline: like the reference's per-step chrome traces
     # (stt.py:149-156 + AcousticModel._write_timeline, overwritten each
@@ -265,7 +275,7 @@ def train_acoustic(
                                       eval_metrics["mean_error_rate"], current_step)
 
             if policy.update(window_err):
-                state["lr"] = state["lr"] * config.lr_decay_factor
+                state["lr"] = state["lr"] * policy.decay_factor
                 logger.info("Model is not improving, decaying the learning rate")
                 if float(state["lr"]) < MIN_LEARNING_RATE:
                     logger.info("Learning rate is too low, exiting")

@@ -197,7 +197,13 @@ def test_large_list_lazy_submission(corpus):
         paths, max_samples=1 << 20, target_rate=22050, n_threads=2, capacity=4
     ) as ld:
         assert ld._submitted <= 2 * 4 + 4   # window, not len(paths)
-        got = sum(1 for _, a, rc in ld if rc == 0)
+        got = 0
+        for _, a, rc in ld:
+            got += rc == 0
+            # Submission is anchored to items delivered: in-flight work
+            # stays bounded by the window for the whole iteration, not
+            # just at startup.
+            assert ld._submitted - ld._delivered <= 2 * 4 + 4
     assert got == len(paths)
 
 

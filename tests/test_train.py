@@ -42,6 +42,22 @@ def toy_batch():
     }
 
 
+def test_batch_norm_batch1_is_not_erased():
+    """With normalization on and batch size 1, the forward must still depend
+    on the input (the reference's batch-axis moments degenerate to all-zero
+    activations at B=1, making --file/--record audio-independent)."""
+    cfg = make_cfg(normalization=True)
+    params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
+    states = acoustic.zero_state(cfg, 1)
+    lengths = jnp.asarray([10], jnp.int32)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.normal(0, 1, (10, 1, 8)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(0, 1, (10, 1, 8)), jnp.float32)
+    l1, _ = acoustic.forward(params, cfg, x1, lengths, states)
+    l2, _ = acoustic.forward(params, cfg, x2, lengths, states)
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
 def test_train_step_decreases_loss(toy_batch):
     cfg = step_mod.StepConfig(
         model=make_cfg(), grad_clip=5.0, input_keep_prob=1.0, output_keep_prob=1.0
@@ -115,6 +131,19 @@ def test_checkpoint_latest_and_missing(tmp_path):
     checkpoint.save(str(tmp_path), params, 7, 0.2)
     _, step, lr = checkpoint.restore(str(tmp_path), params)
     assert step == 7 and lr == pytest.approx(0.2)
+
+
+def test_checkpoint_corrupt_pointer_recovers(tmp_path):
+    """A truncated/garbage pointer file (crash mid-write) must fall back to
+    scanning the atomically-written bundles, not break restore forever."""
+    cfg = make_cfg()
+    params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
+    checkpoint.save(str(tmp_path), params, 5, 0.1)
+    for garbage in ("", "{not json", '{"other": 1}'):
+        with open(os.path.join(str(tmp_path), checkpoint.POINTER_FILE), "w") as fh:
+            fh.write(garbage)
+        out = checkpoint.restore(str(tmp_path), params)
+        assert out is not None and out[1] == 5
 
 
 def test_checkpoint_shape_mismatch(tmp_path):

@@ -46,6 +46,16 @@ class TpuConfig:
     bucket_count: int = 8             # length buckets for padded batching
     prefetch_depth: int = 2           # device prefetch depth
     remat: bool = False               # rematerialize LSTM layers in bwd
+    # Run batch_size*mini_batch_size utterances as ONE device batch instead
+    # of a sequential microbatch scan.  Same summed-gradient Adam update per
+    # step and cadence; deviates only in that recurrent state carries
+    # per-row across steps (not serially through microbatches) and
+    # batch-norm statistics span the fused batch.  At the reference's
+    # 10x3 shape this is ~1.7x training throughput on TPU (the recurrence
+    # cost is nearly flat in batch rows below the 128-lane MXU tile).
+    # Costs activation memory proportional to the fused width; disable for
+    # very large batch_size*mini_batch_size at long max_input_seq_length.
+    fuse_microbatches: bool = False
 
 
 @dataclass(frozen=True)

@@ -64,6 +64,19 @@ class PlateauPolicy:
         return False
 
 
+def effective_batch_shape(config: Config) -> tuple:
+    """(batch_size, mini_batch_size) after optional microbatch fusion.
+
+    With ``[tpu] fuse_microbatches`` the whole macro batch runs as one
+    device batch (mini_batch_size 1): the Adam update is the same summed
+    gradient either way, but MXU row utilization improves ~1.7x at the
+    reference's 10x3 shape (see TpuConfig.fuse_microbatches)."""
+    b, mb = config.batch_size, config.mini_batch_size
+    if config.tpu.fuse_microbatches and mb > 1:
+        return b * mb, 1
+    return b, mb
+
+
 def train_acoustic(
     config: Config,
     train_set,
@@ -85,9 +98,15 @@ def train_acoustic(
     tpu = config.tpu
     compute_dtype = jnp.bfloat16 if tpu.compute_dtype == "bfloat16" else jnp.float32
 
+    batch_size, mini_batch_size = effective_batch_shape(config)
+    if batch_size != config.batch_size:
+        logger.info(
+            "Fusing %d microbatches of %d into one %d-wide device batch",
+            config.mini_batch_size, config.batch_size, batch_size,
+        )
     pcfg = pipe_mod.PipelineConfig(
-        batch_size=config.batch_size,
-        mini_batch_size=config.mini_batch_size,
+        batch_size=batch_size,
+        mini_batch_size=mini_batch_size,
         max_input_seq_length=config.max_input_seq_length,
         max_target_seq_length=config.max_target_seq_length,
         signal_processing=config.signal_processing,
@@ -121,7 +140,7 @@ def train_acoustic(
     )
 
     state = step_mod.init_train_state(
-        jax.random.PRNGKey(0), model_cfg, config.batch_size, config.learning_rate
+        jax.random.PRNGKey(0), model_cfg, batch_size, config.learning_rate
     )
     ckpt_dir = config.checkpoint_dir + "/acoustic/"
     restored = ckpt.restore(ckpt_dir, state["params"])

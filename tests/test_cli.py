@@ -248,6 +248,35 @@ def test_streaming_transcriber(workdir):
     )
 
 
+def test_train_acoustic_fused_microbatches(workdir, tmp_path_factory):
+    """[tpu] fuse_microbatches trains with one fused device batch per step
+    (same update cadence, mini_batch_size folded into batch_size)."""
+    root, cfg = workdir
+    base = open(cfg).read().replace(
+        "[tpu]", "[tpu]\nfuse_microbatches : True"
+    ).replace(str(root / "ckpt"), str(root / "ckpt_fused"))
+    cfg2 = tmp_path_factory.mktemp("fusecfg") / "config.ini"
+    cfg2.write_text(base)
+    rc = main(["--train_acoustic", "--config", str(cfg2), "--max_steps", "2"])
+    assert rc == 0
+    names = os.listdir(str(root / "ckpt_fused" / "acoustic"))
+    # Step count (and so checkpoint naming) is unchanged by fusion.
+    assert "acousticmodel-2.npz" in names
+
+
+def test_effective_batch_shape(tmp_path):
+    from rnn_speech_tpu.config import load_config
+    from rnn_speech_tpu.train.loop import effective_batch_shape
+
+    base = CONFIG_TEMPLATE.format(root="/tmp/x")
+    plain = tmp_path / "plain.ini"
+    plain.write_text(base)
+    fused = tmp_path / "fused.ini"
+    fused.write_text(base.replace("[tpu]", "[tpu]\nfuse_microbatches : True"))
+    assert effective_batch_shape(load_config(str(plain))) == (2, 2)
+    assert effective_batch_shape(load_config(str(fused))) == (4, 1)
+
+
 def test_train_acoustic_mesh_from_config(workdir, tmp_path_factory):
     """[tpu] mesh_data in config.ini must shard training without CLI flags
     (conftest provides an 8-device virtual CPU mesh)."""

@@ -122,6 +122,8 @@ def extract_fbank(sig: np.ndarray, sr: int) -> Tuple[np.ndarray, int]:
     frame_step = int(round(FRAME_STRIDE * sr))
     signal_length = len(emphasized)
     num_frames = int(np.ceil(abs(signal_length - frame_length) / frame_step))
+    if num_frames <= 0:    # exactly one window of signal: no frames to emit
+        return np.zeros((0, FBANK_DIM), np.float32), 0
 
     pad_len = num_frames * frame_step + frame_length
     padded = np.concatenate([emphasized, np.zeros(pad_len - signal_length)])
@@ -142,8 +144,18 @@ def extract_fbank(sig: np.ndarray, sr: int) -> Tuple[np.ndarray, int]:
     banks -= banks.mean(axis=0) + 1e-8             # per-filter mean-norm over time
 
     banks = banks.T                                # (nfilt, frames)
-    d1 = delta(banks)
-    d2 = delta(d1)
+    # Clips under DELTA_WIDTH frames (~0.1 s) can't fit the Savitzky-Golay
+    # window; edge-pad the time axis for the delta fit and trim after, so
+    # short clips featurize instead of raising from savgol_filter.
+    if num_frames < DELTA_WIDTH:
+        padded_banks = np.pad(
+            banks, ((0, 0), (0, DELTA_WIDTH - num_frames)), mode="edge"
+        )
+        d1 = delta(padded_banks)[:, :num_frames]
+        d2 = delta(delta(padded_banks))[:, :num_frames]
+    else:
+        d1 = delta(banks)
+        d2 = delta(d1)
     feats = np.vstack([banks, d1, d2]).T           # (frames, 120)
     assert feats.shape[1] == FBANK_DIM
     return feats.astype(np.float32), len(feats)
@@ -163,6 +175,8 @@ def extract_mfcc(sig: np.ndarray, sr: int) -> Tuple[np.ndarray, int]:
         sig, pad, mode="constant"
     )
     num_frames = 1 + (len(padded) - n_fft) // hop
+    if num_frames <= 0:    # empty/near-empty signal: no frames to featurize
+        return np.zeros((0, MFCC_DIM), np.float32), 0
     idx = np.arange(n_fft)[None, :] + np.arange(num_frames)[:, None] * hop
     window = np.hanning(n_fft + 1)[:-1]
     frames = padded[idx] * window

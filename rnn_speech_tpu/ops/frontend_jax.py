@@ -327,6 +327,13 @@ class DeviceFrontend:
         tail = jax.vmap(
             lambda sig, st: jax.lax.dynamic_slice(sig, (st,), (pad,))
         )(signals, starts)[:, ::-1]
+        # Host parity for degenerate clips: the numpy reference constant-pads
+        # (zeros) when len(sig) <= pad because reflection is undefined there
+        # (frontend.py extract_mfcc); mirror that per row instead of
+        # reflecting zero-masked padding into the frames.
+        short = (lengths <= pad)[:, None]
+        left = jnp.where(short, 0.0, left)
+        tail = jnp.where(short, 0.0, tail)
         base_arr = jnp.concatenate(
             [left, signals, jnp.zeros((B, pad), signals.dtype)], axis=1
         )

@@ -4,8 +4,9 @@ Data-parallel layout (the scaling plan from SURVEY §2c):
   * batch tensors  (MB, B, ...)  -> PartitionSpec(None, "data", ...)
   * recurrent state (B, H)       -> PartitionSpec("data", None)
   * parameters / optimizer state -> replicated, except the LSTM gate
-    matrices' 4H output dim and the projection matrices, which shard over
-    the "model" axis when mesh_model > 1.
+    matrices' 4H output dim and their 4H biases, which shard over the
+    "model" axis when mesh_model > 1 (projections stay replicated; their
+    small dims are rarely divisible and contribute negligible FLOPs).
 
 Two step constructions:
 
@@ -40,18 +41,24 @@ except ImportError:  # older jax
 from rnn_speech_tpu.train import step as step_mod
 
 
-def _param_spec(path_key: str, shape, model_axis: bool) -> P:
-    """Sharding for one parameter tensor."""
-    if not model_axis:
+def _param_spec(keys, shape, model_size: int) -> P:
+    """Sharding for one parameter tensor (``keys`` = its path in the tree).
+
+    Only the LSTM gate matrices (4H output dim) and their 4H biases shard
+    over the model axis; the input/output projections and their biases stay
+    replicated (their dims — input_dim, hidden, num_labels — are small and
+    rarely divisible by the mesh).  Non-divisible shapes fall back to
+    replication rather than crashing device_put."""
+    if model_size <= 1 or "lstm" not in keys:
         return P()
-    if path_key.endswith("w_x") or path_key.endswith("w_h"):
+    if keys[-1] in ("w_x", "w_h") and shape[-1] % model_size == 0:
         return P(None, "model")       # shard the 4H gate dim
-    if path_key == "b" and len(shape) == 1:
+    if keys[-1] == "b" and len(shape) == 1 and shape[0] % model_size == 0:
         return P("model")
     return P()
 
 
-def _state_spec_tree(state: step_mod.TrainState, model_axis: bool):
+def _state_spec_tree(state: step_mod.TrainState, model_size: int):
     """PartitionSpec pytree matching a TrainState."""
 
     def spec_for(path, leaf):
@@ -62,7 +69,7 @@ def _state_spec_tree(state: step_mod.TrainState, model_axis: bool):
         if top in ("params", "opt"):
             if top == "opt" and keys[-1] == "t":
                 return P()
-            return _param_spec(keys[-1], leaf.shape, model_axis)
+            return _param_spec(keys, leaf.shape, model_size)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, state)
@@ -70,8 +77,7 @@ def _state_spec_tree(state: step_mod.TrainState, model_axis: bool):
 
 def state_shardings(mesh: Mesh, state: step_mod.TrainState):
     """NamedSharding pytree matching a TrainState."""
-    model_axis = mesh.shape.get("model", 1) > 1
-    specs = _state_spec_tree(state, model_axis)
+    specs = _state_spec_tree(state, mesh.shape.get("model", 1))
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
 
@@ -94,7 +100,7 @@ def batch_shardings(mesh: Mesh, batch: Dict[str, Any]):
 # ------------------------------------------------------- shard_map DP path
 
 def _make_shard_map_fns(mesh: Mesh, state: step_mod.TrainState):
-    state_spec = _state_spec_tree(state, model_axis=False)
+    state_spec = _state_spec_tree(state, model_size=1)
     metric_spec = {"mean_loss": P(), "mean_error_rate": P(), "grad_norm": P()}
 
     def train_step_sm(scfg, state, batch, rng, reset_state):

@@ -98,6 +98,16 @@ def decode_flac_native(path: str) -> Tuple[np.ndarray, int]:
     )
     if rc != 0:
         raise ValueError(f"FLAC decode failed (code {rc}): {path}")
+    # Same corrupt-STREAMINFO guard as the C++ consumer (loader.cpp): rc 0
+    # with bogus header fields must fail cleanly, not crash on a negative
+    # shift or a zero-channel reshape downstream.
+    if not (0 < rate.value <= 1_000_000 and channels.value > 0
+            and 4 <= bps.value <= 32):
+        lib.rst_free(samples)
+        raise ValueError(
+            f"FLAC decode returned corrupt STREAMINFO (rate {rate.value}, "
+            f"channels {channels.value}, bps {bps.value}): {path}"
+        )
     try:
         n = count.value * channels.value
         arr = np.ctypeslib.as_array(samples, shape=(n,)).copy()

@@ -344,7 +344,9 @@ struct Loader {
   std::condition_variable cv_done;   // consumer waits for next item
   std::deque<Task> tasks;
   std::map<int64_t, Item> done;      // completed, keyed by submit index
-  int64_t next_out = 0;              // next index the consumer will take
+  std::deque<int64_t> order;         // indices in submission order (delivery
+                                     // order); indices need not be 0,1,2,...
+                                     // but must be unique while in flight
   bool closed = false;
   bool dying = false;
   int in_flight = 0;
@@ -401,12 +403,14 @@ void* rst_loader_create(int n_threads, int64_t max_samples, int target_rate,
   return ld;
 }
 
-// Submission order defines delivery order. Returns 0.
+// Submission order defines delivery order; indices may be arbitrary but
+// must be unique among items not yet delivered. Returns 0.
 int rst_loader_submit(void* handle, int64_t index, const char* path) {
   auto* ld = (Loader*)handle;
   {
     std::lock_guard<std::mutex> lk(ld->mu);
     ld->tasks.push_back(Task{index, std::string(path)});
+    ld->order.push_back(index);
   }
   ld->cv_work.notify_one();
   return 0;
@@ -429,16 +433,19 @@ int rst_loader_next(void* handle, int64_t* index, float* out, int64_t cap,
   {
     std::unique_lock<std::mutex> lk(ld->mu);
     for (;;) {
-      auto it = ld->done.find(ld->next_out);
-      if (it != ld->done.end()) {
-        item = std::move(it->second);
-        ld->done.erase(it);
-        ++ld->next_out;
-        break;
+      if (!ld->order.empty()) {
+        auto it = ld->done.find(ld->order.front());
+        if (it != ld->done.end()) {
+          item = std::move(it->second);
+          ld->done.erase(it);
+          ld->order.pop_front();
+          break;
+        }
       }
-      bool pending =
-          !ld->tasks.empty() || ld->in_flight > 0 || !ld->done.empty();
-      if (ld->closed && !pending) return -1;
+      // The stream is exhausted when closed and every submitted index has
+      // been delivered — keyed off the order queue, so arbitrary (non-
+      // consecutive) submit indices drain correctly instead of hanging.
+      if (ld->closed && ld->order.empty()) return -1;
       ld->cv_done.wait(lk);
     }
   }

@@ -81,7 +81,13 @@ def _process_item(args):
             "label_length": label_len,
         }
     ap = frontend.AudioProcessor(cfg.max_input_seq_length, cfg.signal_processing)
-    feats, n_frames = ap.process_signal(sig, sr)
+    try:
+        feats, n_frames = ap.process_signal(sig, sr)
+    except (ValueError, FloatingPointError) as exc:
+        # Degenerate clips (too short/empty for the DSP) are skipped like
+        # undecodable audio, not allowed to abort the whole training run.
+        logger.warning("Skipping unfeaturizable audio %s: %s", path, exc)
+        return None
     return {
         "features": feats.astype(np.float32),
         "frame_length": min(n_frames, cfg.max_input_seq_length),

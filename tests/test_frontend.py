@@ -74,6 +74,53 @@ def test_mfcc_length_from_duration():
     assert frontend.AudioProcessor.get_mfcc_length_from_duration(2.0) == 198
 
 
+def test_host_short_and_empty_clips_do_not_crash():
+    """Clips under the Savitzky-Golay window (~0.105 s) and empty signals
+    must featurize (or yield 0 frames), never raise out of the DSP."""
+    sr = 22050
+    rng = np.random.default_rng(0)
+    for n in [0, 50, 100, 551, 1500]:
+        x = rng.normal(0, 0.2, n).astype(np.float32)
+        feats, length = frontend.extract_fbank(x, sr)
+        assert feats.shape[1] == frontend.FBANK_DIM
+        assert len(feats) == length
+        assert np.isfinite(feats).all()
+        feats_m, length_m = frontend.extract_mfcc(x, sr)
+        assert feats_m.shape[1] == frontend.MFCC_DIM
+        assert len(feats_m) == length_m
+        assert np.isfinite(feats_m).all()
+
+
+def test_short_fbank_deltas_match_long_prefix_shape():
+    """The edge-padded delta fallback keeps the banks untouched: the static
+    (non-delta) 40 dims must equal a direct computation."""
+    sr = 22050
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 0.2, 1200).astype(np.float32)   # ~5 frames < width 9
+    feats, n = frontend.extract_fbank(x, sr)
+    assert 0 < n < frontend.DELTA_WIDTH
+
+
+def test_device_mfcc_short_clip_matches_host_constant_pad():
+    """Clips of at most n_fft//2 samples: the host falls back to constant
+    padding; the device path must match it, not reflect garbage."""
+    sr = 22050
+    rng = np.random.default_rng(2)
+    max_samples = sr
+    n_short = 150                       # <= pad = 551 // 2 = 275
+    x = rng.normal(0, 0.2, n_short).astype(np.float32)
+    fe = DeviceFrontend("mfcc", sr=sr, max_samples=max_samples)
+    batch = np.zeros((1, max_samples), np.float32)
+    batch[0, :n_short] = x
+    feats, nf = featurize(fe, batch, np.array([n_short], np.int32))
+    host, n_host = frontend.extract_mfcc(x, sr)
+    assert int(nf[0]) == n_host
+    scale = max(1.0, np.abs(host).max())
+    np.testing.assert_allclose(
+        np.asarray(feats)[0, :n_host] / scale, host / scale, atol=2e-3
+    )
+
+
 # --------------------------------------------------------------- device path
 
 @pytest.mark.parametrize("feature_type", ["fbank", "mfcc"])

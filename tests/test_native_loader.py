@@ -207,6 +207,38 @@ def test_large_list_lazy_submission(corpus):
     assert got == len(paths)
 
 
+def test_non_consecutive_submit_indices(corpus):
+    """The extern-C delivery contract is submission order over arbitrary
+    unique indices — not indices-consecutive-from-0 (a raw-API caller
+    submitting e.g. index 5 first must not hang forever)."""
+    import ctypes
+
+    from rnn_speech_tpu.runtime import audiodec
+    from rnn_speech_tpu.runtime.loader import _bind
+
+    lib = _bind(audiodec.get_native_lib())
+    handle = lib.rst_loader_create(1, 1 << 20, 22050, 8)
+    for idx in (5, 2, 40):
+        lib.rst_loader_submit(handle, idx, corpus[0].encode())
+    lib.rst_loader_close(handle)
+    buf = np.empty((1 << 20,), np.float32)
+    seen = []
+    while True:
+        index = ctypes.c_int64()
+        n = ctypes.c_int64()
+        rc = lib.rst_loader_next(
+            handle, ctypes.byref(index),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            1 << 20, ctypes.byref(n),
+        )
+        if rc == -1:
+            break
+        assert rc == 0 and n.value > 0
+        seen.append(index.value)
+    lib.rst_loader_destroy(handle)
+    assert seen == [5, 2, 40]
+
+
 def test_fuzz_no_crashes(tmp_path):
     """Mutated/truncated containers must reject or decode — never crash the
     worker threads (a native segfault would kill training)."""

@@ -80,10 +80,36 @@ def check_ctc() -> None:
     print("CTC pallas-vs-scan on hardware: OK")
 
 
+def check_frontend() -> None:
+    """Fused Pallas fbank kernel vs the XLA view-matmul path on the chip
+    (the pytest parity runs the kernel in interpret mode on CPU only)."""
+    from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend
+
+    sr = 22050
+    max_samples = sr * 2
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 0.2, (4, max_samples)).astype(np.float32))
+    lens = jnp.asarray(
+        [max_samples, max_samples // 2, max_samples // 3, 1000], jnp.int32
+    )
+    fe_x = DeviceFrontend("fbank", sr=sr, max_samples=max_samples,
+                          use_pallas=False)
+    fe_p = DeviceFrontend("fbank", sr=sr, max_samples=max_samples,
+                          use_pallas=True)
+    feats_x, nf_x = jax.jit(fe_x)(x, lens)
+    feats_p, nf_p = jax.jit(fe_p)(x, lens)
+    assert np.array_equal(np.asarray(nf_x), np.asarray(nf_p))
+    scale = max(1.0, float(jnp.max(jnp.abs(feats_x))))
+    diff = float(jnp.max(jnp.abs(feats_x - feats_p))) / scale
+    assert diff < 5e-3, f"frontend fbank rel diff {diff:.3e}"
+    print("frontend pallas-vs-xla on hardware: OK")
+
+
 def main() -> int:
     print(f"devices: {jax.devices()}")
     check_lstm()
     check_ctc()
+    check_frontend()
     print("ALL HARDWARE PARITY CHECKS PASSED")
     return 0
 

@@ -135,6 +135,7 @@ def _build_forward(config, char_map, batch_size: int):
         compute_dtype=compute_dtype,
         use_pallas=config.tpu.use_pallas_lstm
         and jax.default_backend() != "cpu",
+        frame_stack=max(config.tpu.frame_stack, 1),
     )
 
     from rnn_speech_tpu.models import acoustic as am
@@ -195,13 +196,14 @@ def _make_infer(model_cfg, beam_width: int, lm, lm_weight: float):
             params, model_cfg, jnp.transpose(feats_bm, (1, 0, 2)),
             frame_lengths, states,
         )
+        out_lengths = acoustic.output_lengths(model_cfg, frame_lengths)
         if beam_width > 1:
             labels, lengths, _ = decode.beam_search_decode(
-                logits, frame_lengths, beam_width=beam_width,
+                logits, out_lengths, beam_width=beam_width,
                 lm=lm, lm_weight=lm_weight,
             )
             return labels[:, 0], lengths[:, 0]
-        return decode.greedy_decode(logits, frame_lengths)
+        return decode.greedy_decode(logits, out_lengths)
 
     return infer
 
@@ -525,7 +527,9 @@ class StreamingTranscriber:
             logits, states = acoustic.forward(
                 params, model_cfg, jnp.transpose(feats, (1, 0, 2)), nf, states
             )
-            labels, lengths = dec.greedy_decode(logits, nf)
+            labels, lengths = dec.greedy_decode(
+                logits, acoustic.output_lengths(model_cfg, nf)
+            )
             return labels, lengths, states
 
         self._chunk_step = chunk_step

@@ -56,6 +56,12 @@ class TpuConfig:
     # Costs activation memory proportional to the fused width; disable for
     # very large batch_size*mini_batch_size at long max_input_seq_length.
     fuse_microbatches: bool = False
+    # Stack N adjacent feature frames and subsample time by N before the
+    # LSTM (arXiv:1507.06947): the sequential recurrence runs over T/N
+    # steps on an N-wide input, roughly dividing the latency-bound part of
+    # the model by N.  Changes the model (10*N ms logit frame rate; CTC
+    # needs T/N >= label length).  1 = off (reference behavior).
+    frame_stack: int = 1
 
 
 @dataclass(frozen=True)
@@ -143,7 +149,12 @@ class Config:
         return dataclasses.replace(self, **kw)
 
     def structural_signature(self) -> Tuple:
-        return tuple(getattr(self, f) for f in STRUCTURAL_FIELDS)
+        # tpu.frame_stack changes parameter shapes (the input projection is
+        # frame_stack*input_dim wide), so it forks checkpoints like the
+        # reference's structural fields do.
+        return tuple(getattr(self, f) for f in STRUCTURAL_FIELDS) + (
+            self.tpu.frame_stack,
+        )
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

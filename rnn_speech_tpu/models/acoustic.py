@@ -38,13 +38,22 @@ class AcousticConfig:
     use_pallas: bool = False
     remat: bool = False
     time_chunk: int = 0     # rematerialized scan chunking (0 = whole seq)
+    # Stack N adjacent frames and subsample time by N before the LSTM
+    # (Sak et al., arXiv:1507.06947; arXiv:1705.05992): the recurrence —
+    # the sequential, latency-bound part — runs over T/N steps on an
+    # N*input_dim-wide input, so the MXU sees wider matmuls and the scan
+    # is N x shorter.  Changes the model (logits at a 10*N ms frame rate);
+    # CTC needs T/N >= label length, so keep N small (2-3) for long
+    # transcripts.  1 = off (reference behavior).
+    frame_stack: int = 1
 
 
 def init_params(key: jax.Array, cfg: AcousticConfig) -> Params:
     k_in, k_lstm, k_out = jax.random.split(key, 3)
+    in_dim = cfg.input_dim * max(cfg.frame_stack, 1)
     return {
         "input": {
-            "w": lstm.xavier_uniform(k_in, (cfg.input_dim, cfg.hidden_size)),
+            "w": lstm.xavier_uniform(k_in, (in_dim, cfg.hidden_size)),
             "b": jnp.zeros((cfg.hidden_size,), jnp.float32),
         },
         "lstm": lstm.init_lstm_stack(
@@ -77,6 +86,22 @@ def _batch_norm(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
+def stack_frames(
+    x: jnp.ndarray, seq_lengths: jnp.ndarray, n: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(T, B, D) -> (ceil(T/n), B, n*D) by concatenating adjacent frames;
+    lengths become ceil(len/n).  A boundary frame may mix valid and padded
+    sub-frames; padding sub-frames are zero."""
+    T, B, D = x.shape
+    T_pad = -(-T // n) * n
+    if T_pad != T:
+        x = jnp.pad(x, ((0, T_pad - T), (0, 0), (0, 0)))
+    x = x.reshape(T_pad // n, n, B, D).transpose(0, 2, 1, 3).reshape(
+        T_pad // n, B, n * D
+    )
+    return x, -(-seq_lengths // n)
+
+
 def forward(
     params: Params,
     cfg: AcousticConfig,
@@ -88,10 +113,13 @@ def forward(
     input_keep_prob: float = 1.0,
     output_keep_prob: float = 1.0,
 ) -> Tuple[jnp.ndarray, States]:
-    """Returns (logits (T, B, num_labels), new recurrent states).
+    """Returns (logits (T', B, num_labels), new recurrent states), where
+    T' = ceil(T / frame_stack) (== T without frame stacking).
 
     Pass ``dropout_rng=None`` for inference (keep probabilities ignored).
     """
+    if cfg.frame_stack > 1:
+        inputs, seq_lengths = stack_frames(inputs, seq_lengths, cfg.frame_stack)
     cd = cfg.compute_dtype
     x = (
         jnp.dot(inputs.astype(cd), params["input"]["w"].astype(cd),
@@ -118,6 +146,15 @@ def forward(
         + params["output"]["b"]
     )
     return logits, new_states
+
+
+def output_lengths(cfg: AcousticConfig, frame_lengths: jnp.ndarray) -> jnp.ndarray:
+    """Valid logit count per example for ``forward``'s output: the input
+    frame count subsampled by frame_stack (identity when stacking is off).
+    Pair THIS with the logits in CTC loss / decoders."""
+    if cfg.frame_stack > 1:
+        return -(-frame_lengths // cfg.frame_stack)
+    return frame_lengths
 
 
 def param_count(params: Params) -> int:

@@ -129,6 +129,7 @@ def train_acoustic(
         use_pallas=tpu.use_pallas_lstm and jax.default_backend() != "cpu",
         remat=tpu.remat,
         time_chunk=tpu.time_chunk,
+        frame_stack=max(tpu.frame_stack, 1),
     )
     scfg = step_mod.StepConfig(
         model=model_cfg,

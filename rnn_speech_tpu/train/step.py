@@ -98,7 +98,8 @@ def _micro_loss(params, cfg: StepConfig, states, feats, frame_lengths,
         input_keep_prob=cfg.input_keep_prob,
         output_keep_prob=cfg.output_keep_prob,
     )
-    per_example = _ctc_loss_fn(cfg)(logits, frame_lengths, labels, label_lengths)
+    out_lengths = acoustic.output_lengths(cfg.model, frame_lengths)
+    per_example = _ctc_loss_fn(cfg)(logits, out_lengths, labels, label_lengths)
     total = jnp.sum(per_example)          # grads of the SUM, like TF's Adam
     denom = jnp.maximum(frame_lengths.astype(jnp.float32), 1.0)
     # Short final batches are padded with empty rows (frame_lengths == 0);
@@ -145,7 +146,8 @@ def accumulate_grads(
 
         # Error-rate metric: greedy decode vs truth, no gradient.
         pred, pred_len = decode.greedy_decode(
-            jax.lax.stop_gradient(logits), frame_lengths,
+            jax.lax.stop_gradient(logits),
+            acoustic.output_lengths(cfg.model, frame_lengths),
             max_output=cfg.greedy_metric_max_out or labels.shape[1],
         )
         err = editdistance.error_rate(pred, pred_len, labels, label_lengths)
@@ -240,13 +242,14 @@ def eval_step(
         logits, _ = acoustic.forward(
             params, cfg.model, feats, frame_lengths, zero_states
         )
-        per = _ctc_loss_fn(cfg)(logits, frame_lengths, micro["labels"],
+        out_lengths = acoustic.output_lengths(cfg.model, frame_lengths)
+        per = _ctc_loss_fn(cfg)(logits, out_lengths, micro["labels"],
                                 micro["label_lengths"])
         denom = jnp.maximum(frame_lengths.astype(jnp.float32), 1.0)
         real = (frame_lengths > 0).astype(jnp.float32)
         mean_loss = jnp.sum(per / denom * real) / jnp.maximum(jnp.sum(real), 1.0)
         pred, pred_len = decode.greedy_decode(
-            logits, frame_lengths, max_output=micro["labels"].shape[1]
+            logits, out_lengths, max_output=micro["labels"].shape[1]
         )
         err = editdistance.error_rate(
             pred, pred_len, micro["labels"], micro["label_lengths"]

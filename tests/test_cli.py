@@ -264,6 +264,26 @@ def test_train_acoustic_fused_microbatches(workdir, tmp_path_factory):
     assert "acousticmodel-2.npz" in names
 
 
+def test_train_and_decode_with_frame_stack(workdir, tmp_path_factory):
+    """[tpu] frame_stack = 2 must train, checkpoint, and decode end-to-end
+    (same value at train and inference; structural fork keys include it)."""
+    root, cfg = workdir
+    base = open(cfg).read().replace(
+        "[tpu]", "[tpu]\nframe_stack : 2"
+    ).replace(str(root / "ckpt"), str(root / "ckpt_stack"))
+    cfg2 = tmp_path_factory.mktemp("stackcfg") / "config.ini"
+    cfg2.write_text(base)
+    rc = main(["--train_acoustic", "--config", str(cfg2), "--max_steps", "2"])
+    assert rc == 0
+    assert any(
+        name.endswith(".npz")
+        for name in os.listdir(str(root / "ckpt_stack" / "acoustic"))
+    )
+    wav = str(root / "corpus" / "dev" / "c0.wav")
+    rc = main(["--file", wav, "--config", str(cfg2), "--beam_width", "2"])
+    assert rc == 0
+
+
 def test_effective_batch_shape(tmp_path):
     from rnn_speech_tpu.config import load_config
     from rnn_speech_tpu.train.loop import effective_batch_shape

@@ -76,6 +76,44 @@ def test_train_step_decreases_loss(toy_batch):
     assert float(metrics["mean_error_rate"]) < 1.0
 
 
+def test_stack_frames_values_and_lengths():
+    T, B, D, N = 7, 2, 3, 2
+    x = np.arange(T * B * D, dtype=np.float32).reshape(T, B, D)
+    lengths = np.asarray([7, 4], np.int32)
+    y, out_len = acoustic.stack_frames(
+        jnp.asarray(x), jnp.asarray(lengths), N
+    )
+    assert y.shape == (4, B, N * D)
+    np.testing.assert_array_equal(np.asarray(out_len), [4, 2])
+    # Stacked frame t = concat(x[2t], x[2t+1]); the T=7 tail pads zeros.
+    np.testing.assert_array_equal(
+        np.asarray(y)[0, 0], np.concatenate([x[0, 0], x[1, 0]])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(y)[3, 1], np.concatenate([x[6, 1], np.zeros(D)])
+    )
+
+
+def test_train_step_frame_stack_decreases_loss(toy_batch):
+    """The frame-stacked model (T/2 logits) must still learn the toy task
+    and keep logit/length pairing consistent through loss and metric."""
+    cfg = step_mod.StepConfig(
+        model=make_cfg(frame_stack=2), grad_clip=5.0,
+        input_keep_prob=1.0, output_keep_prob=1.0,
+    )
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 3, 0.01)
+    assert state["params"]["input"]["w"].shape[0] == 16   # 2 * input_dim
+    batch = {k: jnp.asarray(v) for k, v in toy_batch.items()}
+    train = jax.jit(step_mod.train_step, static_argnums=0)
+    losses = []
+    for i in range(60):
+        state, metrics = train(
+            cfg, state, batch, jax.random.PRNGKey(i), jnp.asarray(True)
+        )
+        losses.append(float(metrics["mean_loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
 def test_eval_step_runs(toy_batch):
     cfg = step_mod.StepConfig(model=make_cfg())
     state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 3, 0.01)

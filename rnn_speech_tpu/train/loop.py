@@ -17,6 +17,7 @@ and applied inside the compiled step.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from random import randint, shuffle
 from typing import Callable, Dict, List, Optional
@@ -110,7 +111,13 @@ def train_acoustic(
         max_input_seq_length=config.max_input_seq_length,
         max_target_seq_length=config.max_target_seq_length,
         signal_processing=config.signal_processing,
-        num_workers=4 if tpu.prefetch_depth > 0 else 0,
+        # Decode threads scale with the host: TPU hosts have ~100+ cores
+        # and the fused/stacked device step can consume >300 utt/s, far
+        # beyond what 4 decode threads feed.
+        num_workers=(
+            max(4, min(32, os.cpu_count() or 4))
+            if tpu.prefetch_depth > 0 else 0
+        ),
         prefetch_batches=max(tpu.prefetch_depth, 1),
         bucket_count=max(tpu.bucket_count, 1),
     )

@@ -135,7 +135,7 @@ def _build_forward(config, char_map, batch_size: int):
         compute_dtype=compute_dtype,
         use_pallas=config.tpu.use_pallas_lstm
         and jax.default_backend() != "cpu",
-        frame_stack=max(config.tpu.frame_stack, 1),
+        frame_stack=config.tpu.frame_stack,
     )
 
     from rnn_speech_tpu.models import acoustic as am
@@ -442,11 +442,13 @@ def evaluate(config, prog, char_map) -> int:
 
         paths = [item[0] for item in test_set]
         if native_loader.available():
+            from rnn_speech_tpu.train.pipeline import default_decode_threads
+
             with native_loader.NativeAudioLoader(
                 paths,
                 max_samples=pcfg.max_samples + 1,
                 target_rate=pcfg.sample_rate,
-                n_threads=4,
+                n_threads=default_decode_threads(),
                 capacity=max(4 * config.batch_size, 8),
             ) as ld:
                 for idx, sig, rc in ld:

@@ -153,7 +153,7 @@ class Config:
         # frame_stack*input_dim wide), so it forks checkpoints like the
         # reference's structural fields do.
         return tuple(getattr(self, f) for f in STRUCTURAL_FIELDS) + (
-            self.tpu.frame_stack,
+            max(self.tpu.frame_stack, 1),    # <=1 all mean "off"
         )
 
     def to_dict(self) -> dict:

@@ -17,10 +17,9 @@ and applied inside the compiled step.
 from __future__ import annotations
 
 import logging
-import os
 import time
 from random import randint, shuffle
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +64,7 @@ class PlateauPolicy:
         return False
 
 
-def effective_batch_shape(config: Config) -> tuple:
+def effective_batch_shape(config: Config) -> Tuple[int, int]:
     """(batch_size, mini_batch_size) after optional microbatch fusion.
 
     With ``[tpu] fuse_microbatches`` the whole macro batch runs as one
@@ -111,12 +110,8 @@ def train_acoustic(
         max_input_seq_length=config.max_input_seq_length,
         max_target_seq_length=config.max_target_seq_length,
         signal_processing=config.signal_processing,
-        # Decode threads scale with the host: TPU hosts have ~100+ cores
-        # and the fused/stacked device step can consume >300 utt/s, far
-        # beyond what 4 decode threads feed.
         num_workers=(
-            max(4, min(32, os.cpu_count() or 4))
-            if tpu.prefetch_depth > 0 else 0
+            pipe_mod.default_decode_threads() if tpu.prefetch_depth > 0 else 0
         ),
         prefetch_batches=max(tpu.prefetch_depth, 1),
         bucket_count=max(tpu.bucket_count, 1),
@@ -136,7 +131,7 @@ def train_acoustic(
         use_pallas=tpu.use_pallas_lstm and jax.default_backend() != "cpu",
         remat=tpu.remat,
         time_chunk=tpu.time_chunk,
-        frame_stack=max(tpu.frame_stack, 1),
+        frame_stack=tpu.frame_stack,
     )
     scfg = step_mod.StepConfig(
         model=model_cfg,

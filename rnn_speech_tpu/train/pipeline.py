@@ -37,6 +37,15 @@ from rnn_speech_tpu.charmap import CharMap
 logger = logging.getLogger(__name__)
 
 
+def default_decode_threads() -> int:
+    """Host decode parallelism: scale with cores (TPU hosts have ~100+ and
+    the fused/stacked device step can consume >300 utt/s, far beyond what
+    4 fixed threads feed), bounded for small machines."""
+    import os
+
+    return max(4, min(32, os.cpu_count() or 4))
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     batch_size: int

@@ -91,14 +91,27 @@ def test_host_short_and_empty_clips_do_not_crash():
         assert np.isfinite(feats_m).all()
 
 
-def test_short_fbank_deltas_match_long_prefix_shape():
-    """The edge-padded delta fallback keeps the banks untouched: the static
-    (non-delta) 40 dims must equal a direct computation."""
+def test_short_fbank_delta_fallback_values():
+    """For clips under DELTA_WIDTH frames, the deltas must equal the
+    Savitzky-Golay fit over the edge-padded banks (trimmed), and the static
+    40 bank dims must be untouched by the fallback."""
     sr = 22050
     rng = np.random.default_rng(1)
     x = rng.normal(0, 0.2, 1200).astype(np.float32)   # ~5 frames < width 9
     feats, n = frontend.extract_fbank(x, sr)
     assert 0 < n < frontend.DELTA_WIDTH
+    banks = feats[:, :40].T.astype(np.float64)        # (nfilt, n)
+    padded = np.pad(
+        banks, ((0, 0), (0, frontend.DELTA_WIDTH - n)), mode="edge"
+    )
+    d1 = savgol_filter(padded, frontend.DELTA_WIDTH, 1, deriv=1,
+                       mode="interp")[:, :n]
+    d2 = savgol_filter(
+        savgol_filter(padded, frontend.DELTA_WIDTH, 1, deriv=1, mode="interp"),
+        frontend.DELTA_WIDTH, 1, deriv=1, mode="interp",
+    )[:, :n]
+    np.testing.assert_allclose(feats[:, 40:80].T, d1, atol=1e-4)
+    np.testing.assert_allclose(feats[:, 80:].T, d2, atol=1e-4)
 
 
 def test_device_mfcc_short_clip_matches_host_constant_pad():
@@ -170,15 +183,13 @@ def test_device_padded_batch_matches_per_example(sig, feature_type):
 
 def test_device_num_frames_matches_host_formula(sig):
     x, sr = sig
-    # All >= 9 frames: shorter clips fail the Savitzky-Golay window on the
-    # host path too (reference behavior; corpus filter keeps clips > 0.4 s).
+    fe = DeviceFrontend("fbank", sr=sr, max_samples=22050)
+    fe_m = DeviceFrontend("mfcc", sr=sr, max_samples=22050)
     for n in [22050, 22000, 11111, 3000, 8820]:
-        fe = DeviceFrontend("fbank", sr=sr, max_samples=22050)
         dev = int(fe.num_frames_for(np.array([n]))[0])
         _, host_n = frontend.extract_fbank(x[:n], sr)
         assert dev == host_n, f"fbank mismatch at n={n}: {dev} vs {host_n}"
 
-        fe_m = DeviceFrontend("mfcc", sr=sr, max_samples=22050)
         dev_m = int(fe_m.num_frames_for(np.array([n]))[0])
         _, host_m = frontend.extract_mfcc(x[:n], sr)
         assert dev_m == host_m, f"mfcc mismatch at n={n}: {dev_m} vs {host_m}"

@@ -68,6 +68,9 @@ def test_masking_freezes_state(setup):
         layers[0], x[:7], jnp.array([7, 7, 7]), lstm.zero_state(1, B, H)[0]
     )
     np.testing.assert_allclose(c[1], c2[1], atol=1e-6)
+    np.testing.assert_allclose(h[1], h2[1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys)[:7, 1], np.asarray(ys2)[:, 1],
+                               atol=1e-6)
 
 
 def test_stack_carried_state_continuity(setup):

@@ -298,7 +298,7 @@ def test_language_model_loss_and_generate():
     assert all(0 <= c < len(cm) for c in out)
 
 
-def test_pipeline_bucketed_widths():
+def test_pipeline_bucketed_widths(tmp_path):
     """bucket_count > 1 pads each macro batch to the smallest covering
     bucket width instead of max_samples."""
     import numpy as np
@@ -306,9 +306,8 @@ def test_pipeline_bucketed_widths():
     from rnn_speech_tpu import audio_io
     from rnn_speech_tpu.models.recognizer import SpeechRecognizer
     from rnn_speech_tpu.train import pipeline as pipe_mod
-    import tempfile, os
 
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     rng = np.random.default_rng(0)
     dataset = []
     for i, seconds in enumerate((0.3, 0.35, 2.2, 2.4)):
@@ -439,4 +438,8 @@ def test_all_padding_microbatch_does_not_dilute_metrics(toy_batch):
     ev_pad = step_mod.eval_step(cfg, state, padded)
     np.testing.assert_allclose(
         float(ev_pad["mean_loss"]), float(ev_real["mean_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(ev_pad["mean_error_rate"]), float(ev_real["mean_error_rate"]),
+        rtol=1e-5,
     )

@@ -195,7 +195,8 @@ def test_file_with_lm_fusion(workdir, capsys, tmp_path):
                "--beam_width", "4", "--lm_weight", "0.5"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert isinstance(out, str)  # decoded (possibly empty/garbage) text
+    # The mode must print a decoded-text line (possibly empty/garbage text).
+    assert out.endswith("\n")
 
 
 def test_sweep_tool(workdir, tmp_path):

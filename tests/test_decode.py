@@ -196,3 +196,22 @@ def test_beam_oracle_fuzz(seed, V, K, blank):
     for i in range(min(K, len(expected), 3)):
         np.testing.assert_allclose(float(scores[0, i]), expected[i][1],
                                    rtol=1e-4)
+
+def test_left_compact_wider_than_T():
+    """max_output wider than T keeps the documented output width.
+
+    (Pure-decode coverage: previously lived under test_native_loader's
+    module-level native-runtime skipif, vanishing on non-native hosts.)"""
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.ops import decode
+
+    T, B, V = 6, 2, 4
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 2, (T, B, V)).astype(np.float32))
+    ll = jnp.asarray([6, 3])
+    out, lens = decode.greedy_decode(logits, ll, max_output=10)
+    assert out.shape == (B, 10)
+    labels, lengths, _ = decode.beam_search_decode(logits, ll, beam_width=3,
+                                                   max_output=10)
+    assert labels.shape == (B, 3, 10)

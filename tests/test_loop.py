@@ -136,11 +136,15 @@ def test_sweep_tool_dry_run(tmp_path):
         "[acoustic_network_params]\nnum_layers : 1\n"
         "[general]\ncheckpoint_dir : x\n[training]\n[logging]\n"
     )
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
-        [sys.executable, "tools/sweep.py", "--config", str(cfg),
+        [sys.executable, os.path.join(repo_root, "tools", "sweep.py"),
+         "--config", str(cfg),
          "--out", str(tmp_path / "runs"), "--dry_run",
          "--set", "acoustic_network_params.num_layers=1,2"],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True, cwd=repo_root,
     )
     assert proc.returncode == 0, proc.stderr
     assert "num_layers-1" in proc.stdout and "num_layers-2" in proc.stdout

@@ -151,23 +151,19 @@ def test_pipeline_native_equals_sync(corpus):
         np.testing.assert_allclose(
             sb["audio_lengths"], nb["audio_lengths"], atol=2
         )
-
-
-def test_left_compact_wider_than_T():
-    """max_output wider than T keeps the documented output width."""
-    import jax.numpy as jnp
-
-    from rnn_speech_tpu.ops import decode
-
-    T, B, V = 6, 2, 4
-    rng = np.random.default_rng(0)
-    logits = jnp.asarray(rng.normal(0, 2, (T, B, V)).astype(np.float32))
-    ll = jnp.asarray([6, 3])
-    out, lens = decode.greedy_decode(logits, ll, max_output=10)
-    assert out.shape == (B, 10)
-    labels, lengths, _ = decode.beam_search_decode(logits, ll, beam_width=3,
-                                                   max_output=10)
-    assert labels.shape == (B, 3, 10)
+        # Value parity, not just shapes: compare the overlapping prefix of
+        # each row (native/scipy resampled lengths can differ by a sample
+        # or two; near-Nyquist filter rolloff differs slightly on noise).
+        mb_count, b_count = sb["audio_lengths"].shape
+        for m in range(mb_count):
+            for b in range(b_count):
+                n = int(min(sb["audio_lengths"][m, b],
+                            nb["audio_lengths"][m, b]))
+                if n <= 400:
+                    continue
+                core = slice(200, n - 200)
+                err = np.abs(sb["audio"][m, b, core] - nb["audio"][m, b, core])
+                assert err.max() < 5e-2 and err.mean() < 1e-2
 
 
 def test_float_wav_rejected(corpus, tmp_path):
@@ -218,25 +214,30 @@ def test_non_consecutive_submit_indices(corpus):
 
     lib = _bind(audiodec.get_native_lib())
     handle = lib.rst_loader_create(1, 1 << 20, 22050, 8)
-    for idx in (5, 2, 40):
-        lib.rst_loader_submit(handle, idx, corpus[0].encode())
-    lib.rst_loader_close(handle)
-    buf = np.empty((1 << 20,), np.float32)
-    seen = []
-    while True:
-        index = ctypes.c_int64()
-        n = ctypes.c_int64()
-        rc = lib.rst_loader_next(
-            handle, ctypes.byref(index),
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            1 << 20, ctypes.byref(n),
-        )
-        if rc == -1:
-            break
-        assert rc == 0 and n.value > 0
-        seen.append(index.value)
-    lib.rst_loader_destroy(handle)
-    assert seen == [5, 2, 40]
+    try:
+        for idx in (5, 2, 40):
+            lib.rst_loader_submit(handle, idx, corpus[0].encode())
+        lib.rst_loader_close(handle)
+        buf = np.empty((1 << 20,), np.float32)
+        seen = []
+        # Bounded loop: a regression back to consecutive-from-0 delivery
+        # blocks in rst_loader_next forever — better a failed bound than a
+        # hung suite, so drain at most the submitted count.
+        for _ in range(4):
+            index = ctypes.c_int64()
+            n = ctypes.c_int64()
+            rc = lib.rst_loader_next(
+                handle, ctypes.byref(index),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                1 << 20, ctypes.byref(n),
+            )
+            if rc == -1:
+                break
+            assert rc == 0 and n.value > 0
+            seen.append(index.value)
+        assert seen == [5, 2, 40]
+    finally:
+        lib.rst_loader_destroy(handle)
 
 
 def test_fuzz_no_crashes(tmp_path):

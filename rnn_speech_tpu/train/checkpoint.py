@@ -63,8 +63,14 @@ def save(
     params: Any,
     step: int,
     learning_rate: float,
+    keep: int = 5,
 ) -> str:
-    """Write ``acousticmodel-<step>.npz`` and update the pointer file."""
+    """Write ``acousticmodel-<step>.npz`` and update the pointer file.
+
+    Retains only the ``keep`` highest-step bundles, like the reference's
+    ``tf.train.Saver`` default ``max_to_keep=5``
+    (/root/reference/models/AcousticModel.py:526); ``keep <= 0`` disables
+    pruning."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     flat = _flatten(params)
     flat["__step__"] = np.asarray(int(step), np.int64)
@@ -80,6 +86,21 @@ def save(
     with open(pointer_tmp, "w") as fh:
         json.dump({"latest": name}, fh)
     os.replace(pointer_tmp, pointer)
+    if keep > 0:
+        steps = []
+        for entry in os.listdir(checkpoint_dir):
+            m = re.fullmatch(rf"{PREFIX}-(\d+)\.npz", entry)
+            if m:
+                steps.append(int(m.group(1)))
+        for old_step in sorted(steps)[:-keep]:
+            if old_step == int(step):
+                continue
+            try:
+                os.remove(
+                    os.path.join(checkpoint_dir, f"{PREFIX}-{old_step}.npz")
+                )
+            except OSError:   # concurrent cleanup/readers: best effort
+                pass
     logger.info("Checkpoint saved: %s", path)
     return path
 

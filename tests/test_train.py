@@ -171,6 +171,23 @@ def test_checkpoint_latest_and_missing(tmp_path):
     assert step == 7 and lr == pytest.approx(0.2)
 
 
+def test_checkpoint_retention(tmp_path):
+    """save() keeps only the `keep` highest-step bundles (Saver's
+    max_to_keep=5 semantics); keep<=0 disables pruning."""
+    cfg = make_cfg()
+    params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
+    for s in range(1, 8):
+        checkpoint.save(str(tmp_path), params, s, 0.1, keep=3)
+    names = sorted(
+        n for n in os.listdir(str(tmp_path)) if n.endswith(".npz")
+    )
+    assert names == [f"acousticmodel-{s}.npz" for s in (5, 6, 7)]
+    _, step, _ = checkpoint.restore(str(tmp_path), params)
+    assert step == 7
+    checkpoint.save(str(tmp_path), params, 8, 0.1, keep=0)
+    assert len([n for n in os.listdir(str(tmp_path)) if n.endswith(".npz")]) == 4
+
+
 def test_checkpoint_corrupt_pointer_recovers(tmp_path):
     """A truncated/garbage pointer file (crash mid-write) must fall back to
     scanning the atomically-written bundles, not break restore forever."""

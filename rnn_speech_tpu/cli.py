@@ -65,6 +65,19 @@ def main(argv=None) -> int:
         except RuntimeError:
             pass  # backend already initialized; leave it alone
 
+    # Multi-host pods: RST_MULTIHOST=1 brings up the JAX distributed
+    # runtime (coordinator + cross-host device visibility) before any
+    # backend call.  Auto-detects coordinator/process ids on TPU pods;
+    # per-host input sharding (pipeline.shard_for_host) and mesh_data=0
+    # (all devices) then span the pod.
+    if os.environ.get("RST_MULTIHOST"):
+        import jax
+
+        try:
+            jax.distributed.initialize()
+        except Exception as exc:  # noqa: BLE001 — single-host fallback
+            logger.warning("jax.distributed.initialize() failed: %s", exc)
+
     from rnn_speech_tpu.config import HyperParamStore, load_config, setup_logging
 
     config = load_config(prog["config_file"])

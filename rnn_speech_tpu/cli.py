@@ -73,10 +73,10 @@ def main(argv=None) -> int:
     if os.environ.get("RST_MULTIHOST"):
         import jax
 
-        try:
-            jax.distributed.initialize()
-        except Exception as exc:  # noqa: BLE001 — single-host fallback
-            logger.warning("jax.distributed.initialize() failed: %s", exc)
+        # Fatal on failure: degrading to process_count() == 1 would make
+        # every host train independently on the FULL dataset and clobber a
+        # shared checkpoint_dir — a corrupted run, not a fallback.
+        jax.distributed.initialize()
 
     from rnn_speech_tpu.config import HyperParamStore, load_config, setup_logging
 
@@ -535,6 +535,17 @@ class StreamingTranscriber:
         self.chunk_samples = max(
             1, min(pcfg.max_samples, int(round(pcfg.sample_rate * chunk_seconds)))
         )
+        # With frame stacking, each chunk is stacked independently from
+        # phase 0; size the chunk so its frame count is a multiple of N,
+        # otherwise every chunk's last stacked frame would mix real and
+        # zero sub-frames — a distribution the model never saw in training.
+        stack = getattr(model_cfg, "frame_stack", 1)
+        if stack > 1:
+            n = self.chunk_samples
+            while n > 1 and int(fe.num_frames_for(np.array([n]))[0]) % stack:
+                n -= 1
+            if n > 1:
+                self.chunk_samples = n
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def chunk_step(params, audio, states, n):

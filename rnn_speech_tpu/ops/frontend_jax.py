@@ -114,6 +114,13 @@ def _savgol_delta(x: jnp.ndarray, n_valid: jnp.ndarray, width: int = 9) -> jnp.n
     out = interior
     out = jnp.where(t_idx[:, :, None] < half, head_slope[:, None, :], out)
     out = jnp.where(t_idx[:, :, None] > last[:, :, None] - half, tail_slope[:, None, :], out)
+    # Rows shorter than the window have no well-defined tail band (the
+    # window start is negative, leaving an incomplete fit); use the
+    # head fit over the edge-replicated first `width` frames everywhere —
+    # exactly the host fallback's whole-window line fit
+    # (frontend.extract_fbank's edge-pad-then-trim path).
+    short = (n_valid < width)[:, None, None]
+    out = jnp.where(short, head_slope[:, None, :], out)
     return out
 
 

@@ -101,7 +101,9 @@ def _micro_loss(params, cfg: StepConfig, states, feats, frame_lengths,
     out_lengths = acoustic.output_lengths(cfg.model, frame_lengths)
     per_example = _ctc_loss_fn(cfg)(logits, out_lengths, labels, label_lengths)
     total = jnp.sum(per_example)          # grads of the SUM, like TF's Adam
-    denom = jnp.maximum(frame_lengths.astype(jnp.float32), 1.0)
+    # Per-LOGIT-frame normalization (== per input frame without stacking):
+    # keeps reported loss comparable across frame_stack settings.
+    denom = jnp.maximum(out_lengths.astype(jnp.float32), 1.0)
     # Short final batches are padded with empty rows (frame_lengths == 0);
     # average only over real examples so the metric isn't diluted.
     real = (frame_lengths > 0).astype(jnp.float32)
@@ -245,7 +247,7 @@ def eval_step(
         out_lengths = acoustic.output_lengths(cfg.model, frame_lengths)
         per = _ctc_loss_fn(cfg)(logits, out_lengths, micro["labels"],
                                 micro["label_lengths"])
-        denom = jnp.maximum(frame_lengths.astype(jnp.float32), 1.0)
+        denom = jnp.maximum(out_lengths.astype(jnp.float32), 1.0)
         real = (frame_lengths > 0).astype(jnp.float32)
         mean_loss = jnp.sum(per / denom * real) / jnp.maximum(jnp.sum(real), 1.0)
         pred, pred_len = decode.greedy_decode(

@@ -114,6 +114,28 @@ def test_short_fbank_delta_fallback_values():
     np.testing.assert_allclose(feats[:, 80:].T, d2, atol=1e-4)
 
 
+def test_device_fbank_short_clip_matches_host_delta_fallback():
+    """Clips under DELTA_WIDTH frames: the device delta (short-row head-fit
+    override) must match the host's edge-pad-and-trim fallback, including
+    the delta dims — not just the static banks."""
+    sr = 22050
+    rng = np.random.default_rng(3)
+    max_samples = sr
+    n_short = 1200                      # ~3 frames < DELTA_WIDTH
+    x = rng.normal(0, 0.2, n_short).astype(np.float32)
+    fe = DeviceFrontend("fbank", sr=sr, max_samples=max_samples)
+    batch = np.zeros((1, max_samples), np.float32)
+    batch[0, :n_short] = x
+    feats, nf = featurize(fe, batch, np.array([n_short], np.int32))
+    host, n_host = frontend.extract_fbank(x, sr)
+    assert 0 < n_host < frontend.DELTA_WIDTH
+    assert int(nf[0]) == n_host
+    scale = max(1.0, np.abs(host).max())
+    np.testing.assert_allclose(
+        np.asarray(feats)[0, :n_host] / scale, host / scale, atol=2e-3
+    )
+
+
 def test_device_mfcc_short_clip_matches_host_constant_pad():
     """Clips of at most n_fft//2 samples: the host falls back to constant
     padding; the device path must match it, not reflect garbage."""

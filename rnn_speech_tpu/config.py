@@ -224,6 +224,22 @@ def load_config(config_file: str) -> Config:
         if cp.has_option(lm_sec, "text_corpus"):
             lm_kwargs["text_corpus"] = cp.get(lm_sec, "text_corpus")
 
+    try:
+        return _build_config(cp, ac, ge, tr, lo, opt_get, tensorboard_dir,
+                             lm_kwargs, tpu_kwargs)
+    except (configparser.NoSectionError, configparser.NoOptionError) as exc:
+        # Raw configparser tracebacks don't say which file or what a valid
+        # layout looks like; point the user at both.
+        raise ValueError(
+            f"{config_file}: {exc.message}. Required keys follow the "
+            "reference config.ini schema (sections [acoustic_network_params]"
+            " / [general] / [training] / [logging]); see the config.ini "
+            "shipped at the repo root for a complete annotated example."
+        ) from exc
+
+
+def _build_config(cp, ac, ge, tr, lo, opt_get, tensorboard_dir,
+                  lm_kwargs, tpu_kwargs) -> Config:
     return Config(
         num_layers=cp.getint(ac, "num_layers"),
         hidden_size=cp.getint(ac, "hidden_size"),

@@ -112,6 +112,10 @@ class Config:
     tensorboard_dir: Optional[str] = None
     batch_normalization: bool = False
     dataset_size_ordering: str = "False"   # True | False | First_run_only
+    # SpecAugment (arXiv:1904.08779): on-device time/frequency masking of
+    # the training features inside the compiled step.  No reference
+    # counterpart; off by default.
+    spec_augment: bool = False
     # [logging]
     log_file: Optional[str] = None
     log_level: str = "WARNING"
@@ -268,6 +272,7 @@ def _build_config(cp, ac, ge, tr, lo, opt_get, tensorboard_dir,
         tensorboard_dir=tensorboard_dir,
         batch_normalization=cp.getboolean(tr, "batch_normalization", fallback=False),
         dataset_size_ordering=cp.get(tr, "dataset_size_ordering", fallback="False"),
+        spec_augment=cp.getboolean(tr, "spec_augment", fallback=False),
         log_file=opt_get(lo, "log_file"),
         log_level=cp.get(lo, "log_level", fallback="WARNING"),
         lm=LmConfig(**lm_kwargs),

@@ -140,6 +140,7 @@ def train_acoustic(
         output_keep_prob=config.dropout_output_keep_prob,
         frontend=fe,
         use_pallas_ctc=tpu.use_pallas_ctc and jax.default_backend() != "cpu",
+        spec_augment=config.spec_augment,
     )
 
     state = step_mod.init_train_state(

@@ -53,6 +53,7 @@ class StepConfig:
     frontend: Optional[Any] = None        # DeviceFrontend for raw-audio batches
     greedy_metric_max_out: int = 0        # cap decode width for the metric
     use_pallas_ctc: bool = False          # fused CTC kernels (TPU only)
+    spec_augment: bool = False            # on-device time/freq masking (train)
 
 
 def _ctc_loss_fn(cfg: "StepConfig"):
@@ -138,6 +139,14 @@ def accumulate_grads(
         states, grad_acc, loss_acc, err_acc, cnt_acc, mrng = carry
         mrng, drop_rng = jax.random.split(mrng)
         feats, frame_lengths = _featurize_micro(cfg, micro)
+        if cfg.spec_augment:
+            from rnn_speech_tpu.ops import augment
+
+            mrng, aug_rng = jax.random.split(mrng)
+            groups, _ = augment.groups_for_feature_dim(feats.shape[-1])
+            feats = augment.spec_augment(
+                feats, frame_lengths, aug_rng, groups=groups
+            )
         labels = micro["labels"]
         label_lengths = micro["label_lengths"]
 

@@ -42,6 +42,53 @@ def toy_batch():
     }
 
 
+def test_spec_augment_masks_and_bounds():
+    from rnn_speech_tpu.ops import augment
+
+    T, B, D = 50, 4, 120
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(1.0, 0.1, (T, B, D)).astype(np.float32))
+    lengths = jnp.asarray([50, 30, 50, 10], np.int32)
+    out = augment.spec_augment(
+        feats, lengths, jax.random.PRNGKey(3), groups=3,
+        n_freq_masks=2, freq_mask_width=8, n_time_masks=2,
+        time_mask_ratio=0.1,
+    )
+    out = np.asarray(out)
+    src = np.asarray(feats)
+    # Something masked, everything else untouched, zeros where masked.
+    changed = out != src
+    assert changed.any()
+    assert np.all(out[changed] == 0.0)
+    for b in range(B):
+        # Frequency masks replicate across the 3 feature groups: the set of
+        # fully-masked (all-time) channels is identical per group.
+        full_t = np.asarray(lengths)[b]
+        col_masked = (out[:full_t, b, :] == 0.0).all(axis=0)   # (120,)
+        g = col_masked.reshape(3, 40)
+        assert (g[0] == g[1]).all() and (g[1] == g[2]).all()
+        # At most n*max_width channels per group.
+        assert g[0].sum() <= 2 * 8
+        # Time masks: rows fully zero; bounded count within the length.
+        row_masked = (out[:full_t, b, :] == 0.0).all(axis=1)
+        assert row_masked.sum() <= max(2 * int(0.1 * full_t), 2)
+
+
+def test_train_step_spec_augment_runs(toy_batch):
+    cfg = step_mod.StepConfig(
+        model=make_cfg(), grad_clip=5.0, input_keep_prob=1.0,
+        output_keep_prob=1.0, spec_augment=True,
+    )
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 3, 0.01)
+    batch = {k: jnp.asarray(v) for k, v in toy_batch.items()}
+    train = jax.jit(step_mod.train_step, static_argnums=0)
+    for i in range(3):
+        state, metrics = train(
+            cfg, state, batch, jax.random.PRNGKey(i), jnp.asarray(False)
+        )
+    assert np.isfinite(float(metrics["mean_loss"]))
+
+
 def test_batch_norm_batch1_is_not_erased():
     """With normalization on and batch size 1, the forward must still depend
     on the input (the reference's batch-axis moments degenerate to all-zero

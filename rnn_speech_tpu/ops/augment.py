@@ -39,10 +39,15 @@ def spec_augment(
     channels = D // groups
     k_fs, k_fw, k_ts, k_tw = jax.random.split(rng, 4)
 
-    # Frequency masks: starts (B, n) in [0, channels), widths in [0, maxw].
-    f_start = jax.random.randint(k_fs, (B, n_freq_masks), 0, channels)
+    # Frequency masks: width f in [0, maxw], then start in [0, C - f] — the
+    # paper's policy, so every mask keeps its full width (no edge
+    # truncation biasing the top mel bands).
     f_width = jax.random.randint(k_fw, (B, n_freq_masks), 0,
                                  freq_mask_width + 1)
+    u_fs = jax.random.uniform(k_fs, (B, n_freq_masks))
+    f_start = (u_fs * (channels - f_width + 1).astype(jnp.float32)).astype(
+        jnp.int32
+    )
     ch_idx = jnp.arange(channels)[None, :, None]           # (1, C, 1)
     f_masked = jnp.any(
         (ch_idx >= f_start[:, None, :]) & (ch_idx < (f_start + f_width)[:, None, :]),
@@ -57,9 +62,13 @@ def spec_augment(
         1,
     )                                                      # (B,)
     u_w = jax.random.uniform(k_tw, (B, n_time_masks))
-    t_width = (u_w * max_w[:, None].astype(jnp.float32)).astype(jnp.int32)
+    # Inclusive upper bound (width can reach max_w), matching the
+    # frequency path's randint(0, w + 1).
+    t_width = (u_w * (max_w[:, None] + 1).astype(jnp.float32)).astype(jnp.int32)
     u_s = jax.random.uniform(k_ts, (B, n_time_masks))
-    span = jnp.maximum(frame_lengths[:, None] - t_width, 1)
+    # start in [0, length - width] inclusive, so the final frame is
+    # coverable.
+    span = jnp.maximum(frame_lengths[:, None] - t_width + 1, 1)
     t_start = (u_s * span.astype(jnp.float32)).astype(jnp.int32)
     t_idx = jnp.arange(T)[None, :, None]                   # (1, T, 1)
     t_masked = jnp.any(
@@ -71,9 +80,9 @@ def spec_augment(
     return jnp.where(keep, feats, 0.0)
 
 
-def groups_for_feature_dim(feature_dim: int) -> Tuple[int, int]:
-    """(groups, channels) for a feature layout: fbank-120 is 3 groups of 40
-    mel channels (static/Δ/ΔΔ); anything else is one flat group."""
-    if feature_dim % 3 == 0 and feature_dim // 3 == 40:
-        return 3, 40
-    return 1, feature_dim
+def groups_for_feature_dim(feature_dim: int) -> int:
+    """Channel groups for a feature layout: the fbank static/Δ/ΔΔ triple
+    shares one mel-channel axis; anything else masks as one flat group."""
+    from rnn_speech_tpu.frontend import FBANK_DIM
+
+    return 3 if feature_dim == FBANK_DIM else 1

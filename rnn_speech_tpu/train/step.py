@@ -143,9 +143,9 @@ def accumulate_grads(
             from rnn_speech_tpu.ops import augment
 
             mrng, aug_rng = jax.random.split(mrng)
-            groups, _ = augment.groups_for_feature_dim(feats.shape[-1])
             feats = augment.spec_augment(
-                feats, frame_lengths, aug_rng, groups=groups
+                feats, frame_lengths, aug_rng,
+                groups=augment.groups_for_feature_dim(feats.shape[-1]),
             )
         labels = micro["labels"]
         label_lengths = micro["label_lengths"]

@@ -36,10 +36,17 @@ def main() -> int:
     parser.add_argument("--clips", type=int, default=8,
                         help="Number of utterances (max %d)" % len(DEFAULT_TEXTS))
     parser.add_argument("--seconds", type=float, default=1.0,
-                        help="Clip duration")
+                        help="Clip duration (> 0.4: shorter clips are "
+                             "dropped by the corpus min-duration filter)")
     parser.add_argument("--sample_rate", type=int, default=16000)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
+    if args.seconds <= 0.4:
+        parser.error(
+            "--seconds must exceed 0.4: the corpus reader drops clips at or "
+            "under 0.4 s (the reference's min-audio filter), which would "
+            "leave an empty dataset"
+        )
 
     from rnn_speech_tpu.runtime import flac_enc
 

@@ -89,15 +89,32 @@ def load_tsan_lib() -> ctypes.CDLL:
             raise
         # libtsan needs to be loaded before the interpreter allocates its
         # TLS: re-exec with LD_PRELOAD.
-        tsan = subprocess.run(
-            ["g++", "-print-file-name=libtsan.so"],
-            capture_output=True, text=True,
-        ).stdout.strip()
+        cxx = os.environ.get("CXX", "g++")
+        try:
+            tsan = subprocess.run(
+                [cxx, "-print-file-name=libtsan.so"],
+                capture_output=True, text=True,
+            ).stdout.strip()
+        except OSError:
+            raise SystemExit(
+                f"Cannot locate the TSan runtime via {cxx!r}; run manually "
+                "with LD_PRELOAD=<path to your toolchain's libtsan.so>"
+            )
         env = dict(os.environ, LD_PRELOAD=tsan, _RST_TSAN_REEXEC="1")
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
 def main() -> int:
+    # Watchdog: a loader deadlock (the exact bug class this harness hunts)
+    # would block rst_loader_next forever; die loudly instead of hanging.
+    import signal
+
+    def _on_timeout(signum, frame):
+        raise SystemExit("TSAN HARNESS TIMEOUT: loader appears deadlocked")
+
+    signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(600)
+
     build()
     lib = bind(load_tsan_lib())
     with tempfile.TemporaryDirectory() as root:

@@ -232,10 +232,32 @@ def train_acoustic(
         logger.warning("--timeline needs tensorboard_dir; tracing disabled")
         timeline = False
 
+    # Deferred metric fetch: reading a step's metrics blocks the host until
+    # the device finishes, so fetching immediately would serialize dispatch
+    # and compute.  Holding one step's metrics and draining them AFTER the
+    # next step is dispatched keeps the device busy back-to-back (JAX async
+    # dispatch); the window/checkpoint logic drains the tail first.
+    global_step0 = int(state["step"]) - total_steps
+    pending = None    # (global_step, metrics, dispatch_time)
+
+    def drain_pending():
+        nonlocal pending, window_err
+        if pending is None:
+            return
+        g_step, m, t_disp = pending
+        pending = None
+        err = float(m["mean_error_rate"])     # blocks until that step is done
+        window_err += err / config.steps_per_checkpoint
+        if step_hook is not None:
+            step_hook(g_step - global_step0, m)
+        logger.info(
+            "Batch %d : loss %.5f - error_rate %.5f - duration %.2f",
+            g_step, float(m["mean_loss"]), err, time.time() - t_disp,
+        )
+
     try:
         while True:
             window_err = 0.0
-            t0 = time.time()
             for _ in range(config.steps_per_checkpoint):
                 batch, rolled = next_batch()
                 if rolled and max_epoch is not None and epoch > max_epoch:
@@ -244,21 +266,14 @@ def train_acoustic(
                     jax.profiler.start_trace(config.tensorboard_dir)
                     tracing = True
                 rng, sub = jax.random.split(rng)
+                t_disp = time.time()
                 state, metrics = train_fn(
                     scfg, state, put_batch(batch), sub,
                     jnp.asarray(reset_coin(config.rnn_state_reset_ratio)),
                 )
                 total_steps += 1
-                err = float(metrics["mean_error_rate"])
-                window_err += err / config.steps_per_checkpoint
-                if step_hook is not None:
-                    step_hook(total_steps, metrics)
-                logger.info(
-                    "Batch %d : loss %.5f - error_rate %.5f - duration %.2f",
-                    int(state["step"]), float(metrics["mean_loss"]), err,
-                    time.time() - t0,
-                )
-                t0 = time.time()
+                drain_pending()   # previous step, while this one runs
+                pending = (global_step0 + total_steps, metrics, t_disp)
                 if tracing and total_steps >= TRACE_LAST:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
@@ -266,6 +281,7 @@ def train_acoustic(
                     timeline = False     # one window per session
                 if max_steps is not None and total_steps >= max_steps:
                     break
+            drain_pending()       # window tail, before the stats are used
 
             current_step = int(state["step"])
             ckpt.save(ckpt_dir, state["params"], current_step, float(state["lr"]))

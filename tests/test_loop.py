@@ -127,6 +127,69 @@ def test_recognizer_split_policies(tmp_path):
     assert len(test) == 6
 
 
+def test_step_hook_sees_every_step_once_in_order(tmp_path):
+    """The pipelined (one-step-deferred) metric drain must still deliver
+    step_hook exactly once per step, in order, with finite metrics —
+    including the window tail."""
+    from rnn_speech_tpu import audio_io
+    from rnn_speech_tpu.config import load_config
+    from rnn_speech_tpu.models.recognizer import SpeechRecognizer
+    from rnn_speech_tpu.train import loop
+
+    dev = tmp_path / "corpus" / "dev"
+    dev.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        audio_io.write_wav(str(dev / f"c{i}.wav"),
+                           rng.normal(0, 0.1, 11025).astype(np.float32), 22050)
+        (dev / f"c{i}.wav.trn").write_text(f"sample number {i}\n")
+    cfg_file = tmp_path / "config.ini"
+    cfg_file.write_text(f"""
+[acoustic_network_params]
+num_layers : 1
+hidden_size : 16
+dropout_input_keep_prob : 1.0
+dropout_output_keep_prob : 1.0
+batch_size : 2
+mini_batch_size : 1
+learning_rate : 0.001
+lr_decay_factor : 0.33
+grad_clip : 5
+signal_processing : fbank
+language : english
+rnn_state_reset_ratio : 1.0
+[general]
+use_config_file_if_checkpoint_exists : True
+steps_per_checkpoint : 3
+steps_per_evaluation : 1000
+checkpoint_dir : {tmp_path}/ckpt
+[training]
+training_dataset_dirs : {tmp_path}/corpus
+max_input_seq_length : 60
+max_target_seq_length : 30
+[logging]
+log_level : WARNING
+[tpu]
+compute_dtype : float32
+use_pallas_lstm : False
+use_pallas_ctc : False
+prefetch_depth : 0
+""")
+    config = load_config(str(cfg_file))
+    reco = SpeechRecognizer("english")
+    train_set, _ = reco.load_acoustic_dataset(str(tmp_path / "corpus"))
+    seen = []
+    loop.train_acoustic(
+        config, train_set, [], reco.get_char_map(),
+        max_steps=7,    # not a multiple of steps_per_checkpoint: tests tail
+        step_hook=lambda step, m: seen.append(
+            (step, float(m["mean_loss"]))
+        ),
+    )
+    assert [s for s, _ in seen] == list(range(1, 8))
+    assert all(np.isfinite(v) for _, v in seen)
+
+
 def test_sweep_tool_dry_run(tmp_path):
     import subprocess
     import sys

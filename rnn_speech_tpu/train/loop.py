@@ -338,13 +338,17 @@ def train_acoustic(
 def evaluate_dataset(
     eval_fn, scfg, state, test_set, char_map, pcfg, put_batch
 ) -> Dict[str, float]:
-    """Mean loss/error over one pass of the test pipeline."""
-    losses, errs, n = 0.0, 0.0, 0
+    """Mean loss/error over one pass of the test pipeline.
+
+    Metric fetches are deferred until every batch is dispatched, so the
+    device runs the whole eval back-to-back instead of syncing per batch."""
+    results = []
     for batch in pipe_mod.InputPipeline(test_set, char_map, pcfg):
-        m = eval_fn(scfg, state, put_batch(batch))
-        losses += float(m["mean_loss"])
-        errs += float(m["mean_error_rate"])
-        n += 1
-    if n == 0:
+        results.append(eval_fn(scfg, state, put_batch(batch)))
+    if not results:
         return {"mean_loss": 0.0, "mean_error_rate": 0.0}
-    return {"mean_loss": losses / n, "mean_error_rate": errs / n}
+    n = len(results)
+    return {
+        "mean_loss": sum(float(m["mean_loss"]) for m in results) / n,
+        "mean_error_rate": sum(float(m["mean_error_rate"]) for m in results) / n,
+    }

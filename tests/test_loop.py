@@ -161,7 +161,7 @@ rnn_state_reset_ratio : 1.0
 [general]
 use_config_file_if_checkpoint_exists : True
 steps_per_checkpoint : 3
-steps_per_evaluation : 1000
+steps_per_evaluation : 3
 checkpoint_dir : {tmp_path}/ckpt
 [training]
 training_dataset_dirs : {tmp_path}/corpus
@@ -179,8 +179,10 @@ prefetch_depth : 0
     reco = SpeechRecognizer("english")
     train_set, _ = reco.load_acoustic_dataset(str(tmp_path / "corpus"))
     seen = []
+    # Passing the corpus as the test set also exercises evaluate_dataset
+    # (steps_per_evaluation == steps_per_checkpoint fires it each window).
     loop.train_acoustic(
-        config, train_set, [], reco.get_char_map(),
+        config, train_set, list(train_set), reco.get_char_map(),
         max_steps=7,    # not a multiple of steps_per_checkpoint: tests tail
         step_hook=lambda step, m: seen.append(
             (step, float(m["mean_loss"]))

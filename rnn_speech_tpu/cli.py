@@ -413,6 +413,12 @@ def evaluate(config, prog, char_map) -> int:
     lm = _load_lm_stepper(config, char_map, prog["lm_weight"])
     wer_list, cer_list = [], []
     batch_audio, batch_lengths, batch_truth = [], [], []
+    # Device outputs are stashed per batch and ALL host-side work (label
+    # fetch, text decode, Levenshtein) happens after the last dispatch, so
+    # the device runs the whole eval back-to-back instead of idling while
+    # the host scores each batch.
+    pending_batches = []
+    infer = _make_infer(model_cfg, prog["beam_width"], lm, prog["lm_weight"])
 
     def flush():
         if not batch_audio:
@@ -426,24 +432,29 @@ def evaluate(config, prog, char_map) -> int:
             audio[i, :n] = a[:n]
             lengths[i] = n
         feats, nf = featurize(fe, jnp.asarray(audio), jnp.asarray(lengths))
-        texts = _transcribe_batch(
-            model_cfg, params, np.asarray(feats), nf, char_map,
-            prog["beam_width"], lm=lm, lm_weight=prog["lm_weight"],
-        )
-        for text, truth in zip(texts, batch_truth):
-            if not truth:
-                continue
-            nb_words = len(truth.split())
-            nb_chars = len(truth.replace(" ", ""))
-            wer_list.append(
-                metrics_mod.calculate_wer(text, truth) / float(nb_words)
-            )
-            cer_list.append(
-                metrics_mod.calculate_cer(text, truth) / float(nb_chars)
-            )
+        labels, lab_lens = infer(params, feats, nf)
+        pending_batches.append((labels, lab_lens, list(batch_truth)))
         batch_audio.clear()
         batch_lengths.clear()
         batch_truth.clear()
+
+    def score_pending():
+        for labels, lab_lens, truths in pending_batches:
+            labels = np.asarray(labels)
+            lab_lens = np.asarray(lab_lens)
+            for b, truth in enumerate(truths):
+                if not truth:
+                    continue
+                text = char_map.decode(list(labels[b, : int(lab_lens[b])]))
+                nb_words = len(truth.split())
+                nb_chars = len(truth.replace(" ", ""))
+                wer_list.append(
+                    metrics_mod.calculate_wer(text, truth) / float(nb_words)
+                )
+                cer_list.append(
+                    metrics_mod.calculate_cer(text, truth) / float(nb_chars)
+                )
+        pending_batches.clear()
 
     # Decode through the native async loader when available so container
     # decode + resample overlap with on-device inference (the serial
@@ -490,6 +501,7 @@ def evaluate(config, prog, char_map) -> int:
         if len(batch_audio) == config.batch_size:
             flush()
     flush()
+    score_pending()
 
     if not wer_list:
         logger.fatal("No evaluable files")

@@ -413,10 +413,11 @@ def evaluate(config, prog, char_map) -> int:
     lm = _load_lm_stepper(config, char_map, prog["lm_weight"])
     wer_list, cer_list = [], []
     batch_audio, batch_lengths, batch_truth = [], [], []
-    # Device outputs are stashed per batch and ALL host-side work (label
-    # fetch, text decode, Levenshtein) happens after the last dispatch, so
-    # the device runs the whole eval back-to-back instead of idling while
-    # the host scores each batch.
+    # Host-side work (label fetch, text decode, Levenshtein) trails
+    # dispatch by a bounded window, so the device runs batches
+    # back-to-back while in-flight device memory stays O(window) rather
+    # than O(test set).
+    PENDING_WINDOW = 4
     pending_batches = []
     infer = _make_infer(model_cfg, prog["beam_width"], lm, prog["lm_weight"])
 
@@ -434,27 +435,32 @@ def evaluate(config, prog, char_map) -> int:
         feats, nf = featurize(fe, jnp.asarray(audio), jnp.asarray(lengths))
         labels, lab_lens = infer(params, feats, nf)
         pending_batches.append((labels, lab_lens, list(batch_truth)))
+        if len(pending_batches) > PENDING_WINDOW:
+            score_oldest()
         batch_audio.clear()
         batch_lengths.clear()
         batch_truth.clear()
 
+    def score_oldest():
+        labels, lab_lens, truths = pending_batches.pop(0)
+        labels = np.asarray(labels)
+        lab_lens = np.asarray(lab_lens)
+        for b, truth in enumerate(truths):
+            if not truth:
+                continue
+            text = char_map.decode(list(labels[b, : int(lab_lens[b])]))
+            nb_words = len(truth.split())
+            nb_chars = len(truth.replace(" ", ""))
+            wer_list.append(
+                metrics_mod.calculate_wer(text, truth) / float(nb_words)
+            )
+            cer_list.append(
+                metrics_mod.calculate_cer(text, truth) / float(nb_chars)
+            )
+
     def score_pending():
-        for labels, lab_lens, truths in pending_batches:
-            labels = np.asarray(labels)
-            lab_lens = np.asarray(lab_lens)
-            for b, truth in enumerate(truths):
-                if not truth:
-                    continue
-                text = char_map.decode(list(labels[b, : int(lab_lens[b])]))
-                nb_words = len(truth.split())
-                nb_chars = len(truth.replace(" ", ""))
-                wer_list.append(
-                    metrics_mod.calculate_wer(text, truth) / float(nb_words)
-                )
-                cer_list.append(
-                    metrics_mod.calculate_cer(text, truth) / float(nb_chars)
-                )
-        pending_batches.clear()
+        while pending_batches:
+            score_oldest()
 
     # Decode through the native async loader when available so container
     # decode + resample overlap with on-device inference (the serial

@@ -237,22 +237,23 @@ def train_acoustic(
     # and compute.  Holding one step's metrics and draining them AFTER the
     # next step is dispatched keeps the device busy back-to-back (JAX async
     # dispatch); the window/checkpoint logic drains the tail first.
-    global_step0 = int(state["step"]) - total_steps
-    pending = None    # (global_step, metrics, dispatch_time)
+    global_step0 = int(state["step"])
+    pending = None    # (session step number, metrics, dispatch_time)
 
     def drain_pending():
         nonlocal pending, window_err
         if pending is None:
             return
-        g_step, m, t_disp = pending
+        step_no, m, t_disp = pending
         pending = None
         err = float(m["mean_error_rate"])     # blocks until that step is done
         window_err += err / config.steps_per_checkpoint
         if step_hook is not None:
-            step_hook(g_step - global_step0, m)
+            step_hook(step_no, m)
         logger.info(
             "Batch %d : loss %.5f - error_rate %.5f - duration %.2f",
-            g_step, float(m["mean_loss"]), err, time.time() - t_disp,
+            global_step0 + step_no, float(m["mean_loss"]), err,
+            time.time() - t_disp,
         )
 
     try:
@@ -273,7 +274,7 @@ def train_acoustic(
                 )
                 total_steps += 1
                 drain_pending()   # previous step, while this one runs
-                pending = (global_step0 + total_steps, metrics, t_disp)
+                pending = (total_steps, metrics, t_disp)
                 if tracing and total_steps >= TRACE_LAST:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
@@ -340,15 +341,28 @@ def evaluate_dataset(
 ) -> Dict[str, float]:
     """Mean loss/error over one pass of the test pipeline.
 
-    Metric fetches are deferred until every batch is dispatched, so the
-    device runs the whole eval back-to-back instead of syncing per batch."""
-    results = []
+    Metric fetches trail dispatch by a bounded window, so the device runs
+    batches back-to-back without per-batch syncs while in-flight memory
+    stays O(window), not O(test set)."""
+    from collections import deque
+
+    WINDOW = 4
+    in_flight = deque()
+    losses, errs, n = 0.0, 0.0, 0
+
+    def drain_one():
+        nonlocal losses, errs, n
+        m = in_flight.popleft()
+        losses += float(m["mean_loss"])
+        errs += float(m["mean_error_rate"])
+        n += 1
+
     for batch in pipe_mod.InputPipeline(test_set, char_map, pcfg):
-        results.append(eval_fn(scfg, state, put_batch(batch)))
-    if not results:
+        in_flight.append(eval_fn(scfg, state, put_batch(batch)))
+        if len(in_flight) > WINDOW:
+            drain_one()
+    while in_flight:
+        drain_one()
+    if n == 0:
         return {"mean_loss": 0.0, "mean_error_rate": 0.0}
-    n = len(results)
-    return {
-        "mean_loss": sum(float(m["mean_loss"]) for m in results) / n,
-        "mean_error_rate": sum(float(m["mean_error_rate"]) for m in results) / n,
-    }
+    return {"mean_loss": losses / n, "mean_error_rate": errs / n}

@@ -108,6 +108,26 @@ def test_evaluate_cli(workdir, capsys):
     assert "Resulting WER" in out and "Resulting CER" in out
 
 
+def test_evaluate_cli_many_batches(capsys, tmp_path_factory):
+    """More batches than the deferred-drain window (4): the bounded
+    trailing drain must score every batch exactly once."""
+    root = tmp_path_factory.mktemp("many")
+    corpus_dir = root / "corpus" / "dev"
+    corpus_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for i in range(12):                      # batch 2 -> 6 batches > window
+        n = int(22050 * 0.6)
+        audio_io.write_wav(str(corpus_dir / f"m{i}.wav"),
+                           rng.normal(0, 0.1, n).astype(np.float32), 22050)
+        (corpus_dir / f"m{i}.wav.trn").write_text(f"many batch clip {i}\n")
+    cfg2 = root / "config.ini"
+    cfg2.write_text(CONFIG_TEMPLATE.format(root=root))
+    rc = main(["--evaluate", "--config", str(cfg2), "--beam_width", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Resulting WER" in out and "Resulting CER" in out
+
+
 def test_train_language_and_generate_cli(workdir, capsys):
     root, cfg = workdir
     rc = main(["--train_language", "--config", cfg, "--max_steps", "10"])

@@ -368,7 +368,13 @@ def process_file(config, prog, char_map, file_path) -> int:
     if len(sig) > pcfg.max_samples:
         logger.warning("File too long")
         return 1
-    padded = np.zeros((1, pcfg.max_samples), np.float32)
+    # Pad to the smallest audio-width bucket covering the clip (like the
+    # evaluate pipeline), not the full max-length grid: a 2 s clip then
+    # runs a 2-3 s forward instead of a max_input_seq_length one.
+    bucket_count = max(config.tpu.bucket_count, 1)
+    unit = -(-pcfg.max_samples // bucket_count)
+    width = min(max(1, -(-len(sig) // unit)) * unit, pcfg.max_samples)
+    padded = np.zeros((1, width), np.float32)
     padded[0, : len(sig)] = sig
     feats, nf = featurize(fe, jnp.asarray(padded),
                           jnp.asarray([len(sig)], dtype=jnp.int32))

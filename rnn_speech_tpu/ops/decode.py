@@ -285,8 +285,13 @@ def beam_search_decode(
         lm_out = lm_c
         if use_lm:
             # Reselect the LM view by parent, then advance only the beams
-            # that appended a character.
-            cum_par = _sel_k(lm_cum, sel_p)
+            # that appended a character.  The cumulative score is CARRIED
+            # (reselected every frame), so it takes the exact where+sum
+            # selection — _sel_k's split-einsum still rounds the residual
+            # and the error would random-walk over long utterances.  The
+            # per-frame logp table is recomputed fresh each step, so its
+            # selection error cannot compound.
+            cum_par = _select_rows(lm_cum, sel_p)
             logp_par = _sel_k(lm_logp, sel_p)            # (B, K, V)
             char_oh = jnp.where(is_stay, 0, char)[:, :, None] == chars[None, None, :]
             logp_char = jnp.sum(jnp.where(char_oh, logp_par, 0.0), axis=-1)

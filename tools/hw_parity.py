@@ -105,11 +105,64 @@ def check_frontend() -> None:
     print("frontend pallas-vs-xla on hardware: OK")
 
 
+def check_beam() -> None:
+    """On-device prefix beam search vs a host dict-based oracle — the CPU
+    tests pin this in f32; on the chip the scan carries round differently,
+    so confirm the top hypothesis and its score survive real numerics."""
+    import math
+
+    def host_prefix_beam_search(log_probs, beam_width, blank):
+        T, V = log_probs.shape
+        beams = {(): (0.0, -np.inf)}
+        for t in range(T):
+            new = {}
+
+            def add(prefix, pb, pnb):
+                opb, opnb = new.get(prefix, (-np.inf, -np.inf))
+                new[prefix] = (np.logaddexp(opb, pb), np.logaddexp(opnb, pnb))
+
+            for prefix, (pb, pnb) in beams.items():
+                total = np.logaddexp(pb, pnb)
+                add(prefix, total + log_probs[t, blank], -np.inf)
+                if prefix:
+                    add(prefix, -np.inf, pnb + log_probs[t, prefix[-1]])
+                for c in range(V):
+                    if c == blank:
+                        continue
+                    p_base = pb if (prefix and c == prefix[-1]) else total
+                    add(prefix + (c,), -np.inf, p_base + log_probs[t, c])
+            beams = dict(sorted(new.items(),
+                                key=lambda kv: -np.logaddexp(*kv[1]))[:beam_width])
+        return sorted(((list(k), np.logaddexp(*v)) for k, v in beams.items()),
+                      key=lambda kv: -kv[1])
+
+    from rnn_speech_tpu.ops import decode
+
+    T, B, V, K = 60, 3, 10, 8
+    rng = np.random.default_rng(5)
+    logits = rng.normal(0, 2, (T, B, V)).astype(np.float32)
+    ll = jnp.asarray([60, 37, 60], jnp.int32)
+    labels, lengths, scores = jax.jit(
+        lambda lg: decode.beam_search_decode(lg, ll, beam_width=K)
+    )(jnp.asarray(logits))
+    for b in range(B):
+        lp = jax.nn.log_softmax(jnp.asarray(logits[:, b]), axis=-1)
+        oracle = host_prefix_beam_search(np.asarray(lp)[: int(ll[b])], K,
+                                         blank=V - 1)
+        got = list(np.asarray(labels)[b, 0, : int(lengths[b, 0])])
+        assert got == oracle[0][0], (b, got, oracle[0][0])
+        assert math.isclose(float(scores[b, 0]), oracle[0][1],
+                            rel_tol=0, abs_tol=2e-2), (
+            b, float(scores[b, 0]), oracle[0][1])
+    print("beam search vs host oracle on hardware: OK")
+
+
 def main() -> int:
     print(f"devices: {jax.devices()}")
     check_lstm()
     check_ctc()
     check_frontend()
+    check_beam()
     print("ALL HARDWARE PARITY CHECKS PASSED")
     return 0
 

@@ -143,6 +143,19 @@ def test_random_sentence_roundtrip():
         assert cm.decode(cm.encode(text)) == text, text
 
 
+def test_space_before_apostrophe_is_reference_lossy():
+    """A word boundary before an apostrophe-initial token is unrepresentable
+    in the reference's char map (word starts are marked by capitalizing a
+    LETTER; ``'`` has no capital form), so "s 'p" round-trips to "s'p" —
+    byte-identical to the reference's own behavior (verified against
+    /root/reference/util/dataprocessor.py), not a codec bug here."""
+    from rnn_speech_tpu.charmap import get_char_map
+
+    cm = get_char_map("english")
+    for s, lossy in [("s 'p", "s'p"), ("a 'll b", "a'll b")]:
+        assert cm.decode(cm.encode(s, add_eos=False)) == lossy
+
+
 def test_parity_against_reference_codec():
     """Direct behavioral parity with the reference's label codec
     (/root/reference/util/dataprocessor.py get_str_labels/get_labels_str)

@@ -565,8 +565,11 @@ class StreamingTranscriber:
         # zero sub-frames — a distribution the model never saw in training.
         stack = getattr(model_cfg, "frame_stack", 1)
         if stack > 1:
+            # Host-side closed-form frame counting (the device path's
+            # per-op jnp dispatches are pathologically slow over the
+            # tunneled backend).
             n = self.chunk_samples
-            while n > 1 and int(fe.num_frames_for(np.array([n]))[0]) % stack:
+            while n > 1 and fe._frames_for_width(n) % stack:
                 n -= 1
             if n > 1:
                 self.chunk_samples = n

@@ -43,7 +43,7 @@ def spec_augment(
     # paper's policy, so every mask keeps its full width (no edge
     # truncation biasing the top mel bands).
     f_width = jax.random.randint(k_fw, (B, n_freq_masks), 0,
-                                 freq_mask_width + 1)
+                                 min(freq_mask_width, channels) + 1)
     u_fs = jax.random.uniform(k_fs, (B, n_freq_masks))
     f_start = (u_fs * (channels - f_width + 1).astype(jnp.float32)).astype(
         jnp.int32

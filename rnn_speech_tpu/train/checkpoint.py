@@ -99,6 +99,13 @@ def save(
                 os.remove(
                     os.path.join(checkpoint_dir, f"{PREFIX}-{old_step}.npz")
                 )
+                # Visible by default: a dir accumulated under an older
+                # keep-all policy gets trimmed on the first save, which
+                # users should see happening (ADVICE r1).
+                logger.info(
+                    "Pruned old checkpoint %s-%d.npz (keeping newest %d)",
+                    PREFIX, old_step, keep,
+                )
             except OSError:   # concurrent cleanup/readers: best effort
                 pass
     logger.info("Checkpoint saved: %s", path)

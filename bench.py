@@ -1,18 +1,26 @@
 #!/usr/bin/env python
-"""Benchmark: eval throughput of the flagship acoustic model on one chip.
+"""Benchmark: throughput of the flagship acoustic model on one chip.
 
-Measures utterances/sec/chip for the full eval path — on-device fbank-120
-frontend + 3x1024 LSTM stack + greedy CTC decode — over a synthetic
-LibriSpeech-like workload (10.24 s clips at 22.05 kHz, batch 16), and
-compares against a torch-CPU equivalent forward (the reference ran
-TF on host/GPU; torch-CPU is the reproducible stand-in for its CPU eval
-path, per BASELINE.md's ">=10x TF-CPU eval throughput per chip" target).
+Measures, in one process:
+  * eval utterances/sec/chip — on-device fbank-120 frontend + 3x1024 LSTM
+    stack + greedy CTC decode over a synthetic LibriSpeech-like workload
+    (10.24 s clips at 22.05 kHz), vs a torch-CPU equivalent forward (the
+    reproducible stand-in for the reference's CPU eval path, per
+    BASELINE.md's ">=10x TF-CPU eval throughput per chip" target);
+  * train ms/step and utt/s at REFERENCE shapes — 3x1024, T=3510 frames
+    (35.1 s audio), no frame stacking — with the fused-batch + bf16
+    residual + auto-time-chunk training path (VERDICT r1 #1);
+  * beam-search decode throughput at widths 8 and 16, and beam-8 with
+    AM+LM shallow fusion (VERDICT r1 #6).
 
-Prints ONE JSON line:
+Prints ONE JSON line.  The primary metric stays the round-1 eval number
+(driver compatibility); train/beam results ride along as extra keys:
   {"metric": "eval_utterances_per_sec_per_chip", "value": N,
-   "unit": "utt/s", "vs_baseline": N}
-where vs_baseline = our throughput / torch-CPU-equivalent throughput
-(target >= 10).
+   "unit": "utt/s", "vs_baseline": N, "train_utt_per_sec": N,
+   "train_ms_per_step": N, "train_batch": N, "beam8_utt_per_sec": N,
+   "beam16_utt_per_sec": N, "beam8_lm_utt_per_sec": N}
+
+Set RST_BENCH_FAST=1 to run only the primary eval metric.
 """
 
 from __future__ import annotations
@@ -81,6 +89,134 @@ def bench_tpu() -> float:
     return BATCH * ITERS / dt
 
 
+def bench_train() -> dict:
+    """Train-step throughput at reference shapes (3x1024, T=3510 frames,
+    no frame stacking): one fused device batch per step through the full
+    compiled path — on-device frontend, Pallas LSTM fwd+bwd (bf16
+    residuals), Pallas CTC, Adam + global-norm clip."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend
+    from rnn_speech_tpu.train import step as step_mod
+    from rnn_speech_tpu.train.pipeline import PipelineConfig
+
+    import os
+
+    T_FRAMES, MAX_LABEL = 3510, 600
+    B = int(os.environ.get("RST_TRAIN_B", "64"))
+    pcfg = PipelineConfig(batch_size=B, max_input_seq_length=T_FRAMES,
+                          max_target_seq_length=MAX_LABEL)
+    fe = DeviceFrontend("fbank", sr=pcfg.sample_rate,
+                        max_samples=pcfg.max_samples)
+    on_tpu = jax.default_backend() != "cpu"
+    cfg = acoustic.AcousticConfig(
+        num_layers=LAYERS, hidden_size=HIDDEN, input_dim=fe.feature_size,
+        num_labels=LABELS, compute_dtype=jnp.bfloat16, use_pallas=on_tpu,
+    )
+    chunk = acoustic.auto_time_chunk(cfg, T_FRAMES, B)
+    if os.environ.get("RST_TRAIN_CHUNK") is not None:
+        chunk = int(os.environ["RST_TRAIN_CHUNK"])   # experiment override
+    if chunk:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, time_chunk=chunk)
+    scfg = step_mod.StepConfig(model=cfg, frontend=fe,
+                               use_pallas_ctc=on_tpu)
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg, B, 3e-4)
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "audio": jnp.asarray(
+            rng.normal(0, 0.1, (1, B, pcfg.max_samples)).astype(np.float32)
+        ),
+        "audio_lengths": jnp.full((1, B), pcfg.max_samples, jnp.int32),
+        "labels": jnp.asarray(
+            rng.integers(1, LABELS - 1, (1, B, MAX_LABEL)).astype(np.int32)
+        ),
+        "label_lengths": jnp.full((1, B), 250, jnp.int32),
+    }
+    train_fn = jax.jit(step_mod.train_step, static_argnums=0,
+                       donate_argnums=(1,))
+    key = jax.random.key(0, impl="rbg")
+    no_reset = jnp.asarray(False)
+
+    for _ in range(2):    # compile + one steady-state warmup
+        state, metrics = train_fn(scfg, state, batch, key, no_reset)
+    jax.block_until_ready(metrics)
+    ITER = 5
+    t0 = time.perf_counter()
+    for _ in range(ITER):
+        state, metrics = train_fn(scfg, state, batch, key, no_reset)
+    jax.block_until_ready(metrics)
+    np.asarray(metrics["mean_loss"])    # tunnel-safe completion proof
+    dt = time.perf_counter() - t0
+    return {
+        "train_utt_per_sec": round(B * ITER / dt, 3),
+        "train_ms_per_step": round(1e3 * dt / ITER, 1),
+        "train_batch": B,
+        "train_time_chunk": chunk,
+    }
+
+
+def bench_beam(beam_width: int, with_lm: bool = False,
+               batch: int = 32, iters: int = 4) -> float:
+    """Eval throughput with the on-device prefix beam search (and optional
+    AM+LM shallow fusion) instead of greedy decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.ops import decode
+    from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend
+
+    fe = DeviceFrontend("fbank", sr=SR, max_samples=MAX_SAMPLES)
+    cfg = acoustic.AcousticConfig(
+        num_layers=LAYERS, hidden_size=HIDDEN, input_dim=fe.feature_size,
+        num_labels=LABELS, compute_dtype=jnp.bfloat16,
+        use_pallas=jax.default_backend() != "cpu",
+    )
+    params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
+    states = acoustic.zero_state(cfg, batch)
+
+    lm, lm_weight = None, 0.0
+    if with_lm:
+        from rnn_speech_tpu.models import language
+
+        lm_cfg = language.LanguageConfig(
+            num_layers=1, hidden_size=256, num_labels=LABELS
+        )
+        lm_params = language.init_params(jax.random.PRNGKey(2), lm_cfg)
+        lm = language.stepper(lm_params, lm_cfg)
+        lm_weight = 0.5
+
+    @jax.jit
+    def beam_fn(params, audio, lengths):
+        feats, nf = fe(audio, lengths)
+        logits, _ = acoustic.forward(
+            params, cfg, jnp.transpose(feats, (1, 0, 2)), nf, states
+        )
+        labels, lengths_out, scores = decode.beam_search_decode(
+            logits, nf, beam_width=beam_width, max_output=600,
+            lm=lm, lm_weight=lm_weight,
+        )
+        return labels, lengths_out
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.normal(0, 0.1, (batch, MAX_SAMPLES)).astype(np.float32)
+    )
+    lengths = jnp.asarray(np.full((batch,), MAX_SAMPLES, np.int32))
+    jax.block_until_ready(beam_fn(params, audio, lengths))
+    t0 = time.perf_counter()
+    outs = [beam_fn(params, audio, lengths) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    np.asarray(outs[-1][1])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def bench_torch_cpu() -> float:
     """Reference-equivalent eval forward on CPU: same layer stack in torch."""
     import torch
@@ -105,6 +241,10 @@ def bench_torch_cpu() -> float:
 
 
 def main() -> None:
+    import os
+    import sys
+    import traceback
+
     value = bench_tpu()
     try:
         baseline = bench_torch_cpu()
@@ -118,6 +258,22 @@ def main() -> None:
         "unit": "utt/s",
         "vs_baseline": round(vs, 3),
     }
+    if not os.environ.get("RST_BENCH_FAST"):
+        # Secondary modes are best-effort: a failure there must not lose
+        # the primary metric line.
+        try:
+            result.update(bench_train())
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+        for key, kw in [
+            ("beam8_utt_per_sec", dict(beam_width=8)),
+            ("beam16_utt_per_sec", dict(beam_width=16)),
+            ("beam8_lm_utt_per_sec", dict(beam_width=8, with_lm=True)),
+        ]:
+            try:
+                result[key] = round(bench_beam(**kw), 3)
+            except Exception:
+                traceback.print_exc(file=sys.stderr)
     print(json.dumps(result))
     # Supplementary detail on stderr so the JSON line stays clean.
     import sys

@@ -42,7 +42,11 @@ class TpuConfig:
     param_dtype: str = "float32"      # master copy of parameters
     use_pallas_lstm: bool = True      # fused Pallas LSTM recurrence
     use_pallas_ctc: bool = True       # fused CTC kernels (~45x the scan CTC)
-    time_chunk: int = 0               # scan time-chunking (0 = whole seq)
+    # Rematerialized scan time-chunking of the LSTM stack during training.
+    # 0 = automatic: whole-sequence residuals whenever they fit HBM, else
+    # the largest chunk that does (models/acoustic.py:auto_time_chunk).
+    # > 0 forces that chunk width; -1 forces whole-sequence always.
+    time_chunk: int = 0
     bucket_count: int = 8             # length buckets for padded batching
     prefetch_depth: int = 2           # device prefetch depth
     remat: bool = False               # rematerialize LSTM layers in bwd

@@ -20,6 +20,18 @@ reduce to three large MXU matmuls outside the kernel:
     dW_h = h_prev^T · dgates,  dW_x = x^T · dgates,  dx = dgates · W_x^T
 so no (H, 4H) accumulator ever competes for VMEM with the weights.
 
+Residual precision is selectable (``residual_dtype``): when the layer
+computes in bfloat16 the streamed residuals — activated gates, cell
+sequence, and the emitted dgates — default to bfloat16 too, halving both
+the residual HBM footprint (the binding constraint on fused batch width at
+T=3510: f32 residuals for a 3x1024 stack at B=64 exceed a v5e's 16 GB) and
+the backward kernel's HBM traffic.  All arithmetic inside both kernels
+stays f32 (values are upcast on read); only storage narrows.  Gate
+activations and tanh(c) are squashed into [-1, 1] where bf16 carries ~3
+decimal digits, and the dW/dx reductions accumulate in f32 via the MXU, so
+the gradient noise this adds is far below dropout/CTC sampling noise —
+pinned against the f32-residual path by tests/test_lstm.py.
+
 Gate dynamics are identical to the scan path (order (i, g, f, o), forget
 bias +1.0, dynamic_rnn length masking) and both values and gradients are
 pinned against it by tests/test_lstm.py.
@@ -147,8 +159,10 @@ def _recurrence_train_kernel(mask_ref, xproj_ref, wh_ref, h0_ref, c0_ref,
     c_s[:] = c_carried
     h_s[:] = m * h_new + (1.0 - m) * h
     out_ref[0] = m * h_new
-    gates_ref[0] = jnp.concatenate([i_a, g_a, f_a, o_a], axis=-1)
-    cseq_ref[0] = c_carried
+    gates_ref[0] = jnp.concatenate([i_a, g_a, f_a, o_a], axis=-1).astype(
+        gates_ref.dtype
+    )
+    cseq_ref[0] = c_carried.astype(cseq_ref.dtype)
 
     @pl.when(t == T - 1)
     def _():
@@ -156,8 +170,9 @@ def _recurrence_train_kernel(mask_ref, xproj_ref, wh_ref, h0_ref, c0_ref,
         cn_ref[:] = c_s[:]
 
 
-def _lstm_recurrence_train(x_proj, w_h, mask, h0, c0):
-    """Forward with residuals. Returns (out, hn, cn, gates_act, c_seq)."""
+def _lstm_recurrence_train(x_proj, w_h, mask, h0, c0, res_dtype):
+    """Forward with residuals. Returns (out, hn, cn, gates_act, c_seq);
+    the residual streams are stored in ``res_dtype``."""
     T, B, four_h = x_proj.shape
     H = four_h // 4
     return pl.pallas_call(
@@ -181,8 +196,8 @@ def _lstm_recurrence_train(x_proj, w_h, mask, h0, c0):
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, four_h), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, four_h), res_dtype),
+            jax.ShapeDtypeStruct((T, B, H), res_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
@@ -213,7 +228,7 @@ def _recurrence_bwd_kernel(dout_ref, gates_ref, cseq_ref, cprev_ref,
         dh_s[:] = dhn_ref[:]
         dc_s[:] = dcn_ref[:]
 
-    gates = gates_ref[0]
+    gates = gates_ref[0].astype(jnp.float32)   # arithmetic stays f32
     H = dh_s.shape[-1]
     i_a = gates[:, :H]
     g_a = gates[:, H : 2 * H]
@@ -224,16 +239,17 @@ def _recurrence_bwd_kernel(dout_ref, gates_ref, cseq_ref, cprev_ref,
     dh_carry = dh_s[:]
     dc_carry = dc_s[:]
 
-    tanh_c = jnp.tanh(cseq_ref[0])       # = tanh(c_new) wherever m == 1
+    # = tanh(c_new) wherever m == 1
+    tanh_c = jnp.tanh(cseq_ref[0].astype(jnp.float32))
     dh_new = m * (dout_ref[0] + dh_carry)
     do_pre = dh_new * tanh_c * o_a * (1.0 - o_a)
     dc_new = dh_new * o_a * (1.0 - tanh_c * tanh_c) + m * dc_carry
     di_pre = dc_new * g_a * i_a * (1.0 - i_a)
     dg_pre = dc_new * i_a * (1.0 - g_a * g_a)
-    df_pre = dc_new * cprev_ref[0] * f_a * (1.0 - f_a)
+    df_pre = dc_new * cprev_ref[0].astype(jnp.float32) * f_a * (1.0 - f_a)
 
     dgates = jnp.concatenate([di_pre, dg_pre, df_pre, do_pre], axis=-1)
-    dgates_ref[0] = dgates
+    dgates_ref[0] = dgates.astype(dgates_ref.dtype)
 
     # Grad into h_{t-1}: passthrough where masked + the recurrent matmul.
     dh_prev = jax.lax.dot_general(
@@ -252,9 +268,12 @@ def _recurrence_bwd_kernel(dout_ref, gates_ref, cseq_ref, cprev_ref,
 
 def _lstm_recurrence_bwd(dout, gates_act, c_seq, c_prev_seq, mask, w_h,
                          dhn, dcn):
-    """Returns (dgates (T, B, 4H) pre-activation, dh0, dc0)."""
+    """Returns (dgates (T, B, 4H) pre-activation, dh0, dc0).  dgates is
+    emitted in the residual dtype (its consumers — the dW/dx matmuls —
+    cast to the compute dtype anyway and accumulate in f32)."""
     T, B, four_h = gates_act.shape
     H = four_h // 4
+    res_dtype = gates_act.dtype
     rev = lambda t: (T - 1 - t, 0, 0)
     return pl.pallas_call(
         _recurrence_bwd_kernel,
@@ -275,7 +294,7 @@ def _lstm_recurrence_bwd(dout, gates_act, c_seq, c_prev_seq, mask, w_h,
             pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, four_h), res_dtype),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
@@ -285,7 +304,9 @@ def _lstm_recurrence_bwd(dout, gates_act, c_seq, c_prev_seq, mask, w_h,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * H * four_h,
-            bytes_accessed=T * B * (four_h * 8 + H * 12),
+            bytes_accessed=T * B * (
+                four_h * (4 + 2 * res_dtype.itemsize) + H * 12
+            ),
             transcendentals=T * B * H,
         ),
     )(dout, gates_act, c_seq, c_prev_seq, mask, w_h, dhn, dcn)
@@ -293,10 +314,11 @@ def _lstm_recurrence_bwd(dout, gates_act, c_seq, c_prev_seq, mask, w_h,
 
 # ------------------------------------------------------------- custom VJP
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _lstm_core(w_x, w_h, b, x, mask, c0, h0, cd):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _lstm_core(w_x, w_h, b, x, mask, c0, h0, cd, rd):
     """Fused LSTM layer. Returns (out (T, B, H), cn, hn); ``mask`` is the
-    (T, 1, B) float validity mask, ``cd`` the MXU compute dtype."""
+    (T, 1, B) float validity mask, ``cd`` the MXU compute dtype, ``rd``
+    the storage dtype for backward residuals."""
     x_proj = (
         jnp.dot(x.astype(cd), w_x.astype(cd), preferred_element_type=jnp.float32)
         + b.astype(jnp.float32)
@@ -308,26 +330,26 @@ def _lstm_core(w_x, w_h, b, x, mask, c0, h0, cd):
     return out, cn, hn
 
 
-def _lstm_core_fwd(w_x, w_h, b, x, mask, c0, h0, cd):
+def _lstm_core_fwd(w_x, w_h, b, x, mask, c0, h0, cd, rd):
     x_proj = (
         jnp.dot(x.astype(cd), w_x.astype(cd), preferred_element_type=jnp.float32)
         + b.astype(jnp.float32)
     )
     out, hn, cn, gates_act, c_seq = _lstm_recurrence_train(
         x_proj, w_h.astype(cd), mask, h0.astype(jnp.float32),
-        c0.astype(jnp.float32),
+        c0.astype(jnp.float32), rd,
     )
     residuals = (w_x, w_h, x, mask, c0, h0, out, gates_act, c_seq)
     return (out, cn, hn), residuals
 
 
-def _lstm_core_bwd(cd, residuals, cotangents):
+def _lstm_core_bwd(cd, rd, residuals, cotangents):
     w_x, w_h, x, mask, c0, h0, out, gates_act, c_seq = residuals
     dout, dcn, dhn = cotangents
     T, B, H = out.shape
 
     c_prev_seq = jnp.concatenate(
-        [c0.astype(jnp.float32)[None], c_seq[:-1]], axis=0
+        [c0.astype(rd)[None], c_seq[:-1]], axis=0
     )
     dgates, dh0, dc0 = _lstm_recurrence_bwd(
         dout, gates_act, c_seq, c_prev_seq, mask, w_h.astype(cd), dhn, dcn
@@ -348,7 +370,7 @@ def _lstm_core_bwd(cd, residuals, cotangents):
         "tbd,tbg->dg", x.astype(cd), dg_c,
         preferred_element_type=jnp.float32,
     ).astype(w_x.dtype)
-    db = jnp.sum(dgates, axis=(0, 1))
+    db = jnp.sum(dgates, axis=(0, 1), dtype=jnp.float32)
     dx = jnp.einsum(
         "tbg,dg->tbd", dg_c, w_x.astype(cd),
         preferred_element_type=jnp.float32,
@@ -366,15 +388,25 @@ def lstm_layer_pallas(
     seq_lengths: jnp.ndarray,   # (B,)
     state,                      # (c, h)
     compute_dtype=jnp.float32,
+    residual_dtype=None,
 ):
-    """Drop-in replacement for lstm.lstm_layer_scan on TPU (differentiable)."""
+    """Drop-in replacement for lstm.lstm_layer_scan on TPU (differentiable).
+
+    ``residual_dtype`` controls backward-residual storage; by default it
+    follows the compute dtype (bf16 compute -> bf16 residuals), which is
+    what halves training's activation HBM footprint at long T."""
     T, B, _ = x.shape
+    if residual_dtype is None:
+        residual_dtype = (
+            jnp.bfloat16 if jnp.dtype(compute_dtype) == jnp.bfloat16
+            else jnp.float32
+        )
     mask = (jnp.arange(T)[:, None] < seq_lengths[None, :]).astype(
         jnp.float32
     )[:, None, :]
     c0, h0 = state
     out, cn, hn = _lstm_core(
         params["w_x"], params["w_h"], params["b"], x, mask, c0, h0,
-        compute_dtype,
+        compute_dtype, jnp.dtype(residual_dtype),
     )
     return out, (cn, hn)

@@ -37,10 +37,25 @@ MIN_LEARNING_RATE = 1e-7
 PLATEAU_STRIKES = 7
 
 
-def reset_coin(ratio: float) -> bool:
-    """randint(1, 1//ratio) == 1 — the reference's exact reset draw."""
+def _host_local(x) -> np.ndarray:
+    """Materialize the locally-addressable rows of a (possibly pod-sharded)
+    array — ``np.asarray`` on an array with non-addressable shards raises."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    return np.concatenate(
+        [np.asarray(s.data) for s in x.addressable_shards], axis=0
+    )
+
+
+def reset_coin(ratio: float, rng=None) -> bool:
+    """randint(1, 1//ratio) == 1 — the reference's exact reset draw.
+
+    Pass a seeded ``random.Random`` to make the sequence deterministic;
+    multi-host training requires it so every host applies the same reset
+    to its shard of the (data-sharded) recurrent state."""
     upper = max(1, int(1 // ratio)) if ratio > 0 else 1 << 30
-    return randint(1, upper) == 1
+    draw = rng.randint if rng is not None else randint
+    return draw(1, upper) == 1
 
 
 class PlateauPolicy:
@@ -104,8 +119,30 @@ def train_acoustic(
             "Fusing %d microbatches of %d into one %d-wide device batch",
             config.mini_batch_size, config.batch_size, batch_size,
         )
+
+    # Multi-host pods: batch_size stays the GLOBAL device-batch width; each
+    # host's pipeline assembles only its 1/process_count slice of rows
+    # (make_sharded_step composes them along the "data" axis).  Bucketed
+    # widths are disabled — every process must execute the same compiled
+    # program step-for-step for the cross-host collectives to line up, so
+    # widths may not vary with each host's local data.
+    n_proc = jax.process_count()
+    is_primary = jax.process_index() == 0
+    host_batch_size = batch_size
+    bucket_count = max(tpu.bucket_count, 1)
+    if n_proc > 1:
+        if batch_size % n_proc:
+            raise ValueError(
+                f"Global batch {batch_size} not divisible by "
+                f"{n_proc} processes"
+            )
+        host_batch_size = batch_size // n_proc
+        if bucket_count > 1:
+            logger.info("Multi-host run: disabling width bucketing")
+            bucket_count = 1
+
     pcfg = pipe_mod.PipelineConfig(
-        batch_size=batch_size,
+        batch_size=host_batch_size,
         mini_batch_size=mini_batch_size,
         max_input_seq_length=config.max_input_seq_length,
         max_target_seq_length=config.max_target_seq_length,
@@ -114,7 +151,7 @@ def train_acoustic(
             pipe_mod.default_decode_threads() if tpu.prefetch_depth > 0 else 0
         ),
         prefetch_batches=max(tpu.prefetch_depth, 1),
-        bucket_count=max(tpu.bucket_count, 1),
+        bucket_count=bucket_count,
     )
     fe = DeviceFrontend(
         config.signal_processing, sr=pcfg.sample_rate, max_samples=pcfg.max_samples
@@ -130,9 +167,28 @@ def train_acoustic(
         # TPU-only; the scan path is the CPU/debug fallback.
         use_pallas=tpu.use_pallas_lstm and jax.default_backend() != "cpu",
         remat=tpu.remat,
-        time_chunk=tpu.time_chunk,
+        time_chunk=max(tpu.time_chunk, 0),
         frame_stack=tpu.frame_stack,
     )
+    if tpu.time_chunk == 0:
+        # Auto policy: chunked remat engages only when the whole-sequence
+        # residual footprint would exceed HBM (large fused batches at long
+        # max_input_seq_length); -1 forces whole-sequence, > 0 forces that
+        # chunk.  Under DP sharding each device sees 1/mesh of the batch.
+        data_shards = mesh.shape.get("data", 1) if mesh is not None else 1
+        chunk = acoustic.auto_time_chunk(
+            model_cfg, config.max_input_seq_length,
+            max(1, batch_size // data_shards),
+        )
+        if chunk:
+            logger.info(
+                "Auto time_chunk=%d (whole-sequence LSTM residuals would "
+                "exceed the HBM budget at B=%d, T=%d)",
+                chunk, batch_size // data_shards, config.max_input_seq_length,
+            )
+            import dataclasses
+
+            model_cfg = dataclasses.replace(model_cfg, time_chunk=chunk)
     scfg = step_mod.StepConfig(
         model=model_cfg,
         grad_clip=config.grad_clip,
@@ -163,13 +219,21 @@ def train_acoustic(
             mesh, scfg, state
         )
     else:
+        if n_proc > 1:
+            raise ValueError(
+                "Multi-process training requires a device mesh "
+                "(--mesh_data 0 spans the pod)"
+            )
         put_batch = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
         train_fn = jax.jit(step_mod.train_step, static_argnums=0,
                            donate_argnums=(1,))
         eval_fn = jax.jit(step_mod.eval_step, static_argnums=0)
 
+    # Checkpoints and metrics are written by process 0 only: every host
+    # computes identical replicated params/metrics, so other hosts writing
+    # too would be redundant at best and racy on a shared checkpoint_dir.
     writer = None
-    if config.tensorboard_dir:
+    if config.tensorboard_dir and is_primary:
         writer = metrics_mod.MetricsWriter(config.tensorboard_dir, tb_name)
 
     policy = PlateauPolicy(config.lr_decay_factor)
@@ -177,6 +241,11 @@ def train_acoustic(
     # default threefry (~27 ms/step at reference shapes); mask quality is
     # irrelevant to dropout statistics.
     rng = jax.random.key(1234, impl="rbg")
+    # Seeded host RNG for the state-reset coin: every process draws the
+    # same sequence, so the data-sharded recurrent state resets coherently.
+    from random import Random
+
+    coin_rng = Random(0xC01)
 
     epoch = 0
     ordering = config.dataset_size_ordering
@@ -256,12 +325,23 @@ def train_acoustic(
             time.time() - t_disp,
         )
 
+    def global_epoch() -> int:
+        """Epoch number all processes agree on (min across hosts — a host
+        finishes an epoch only when every host has).  Must be called at the
+        same loop point on every process; epochs roll at host-local times,
+        so host-local ``epoch`` alone would desynchronize the exit."""
+        if n_proc <= 1:
+            return epoch
+        from jax.experimental import multihost_utils
+
+        return int(multihost_utils.process_allgather(np.asarray(epoch)).min())
+
     try:
         while True:
             window_err = 0.0
             for _ in range(config.steps_per_checkpoint):
                 batch, rolled = next_batch()
-                if rolled and max_epoch is not None and epoch > max_epoch:
+                if max_epoch is not None and global_epoch() > max_epoch:
                     break
                 if timeline and not tracing and total_steps == TRACE_FIRST:
                     jax.profiler.start_trace(config.tensorboard_dir)
@@ -270,7 +350,9 @@ def train_acoustic(
                 t_disp = time.time()
                 state, metrics = train_fn(
                     scfg, state, put_batch(batch), sub,
-                    jnp.asarray(reset_coin(config.rnn_state_reset_ratio)),
+                    jnp.asarray(
+                        reset_coin(config.rnn_state_reset_ratio, coin_rng)
+                    ),
                 )
                 total_steps += 1
                 drain_pending()   # previous step, while this one runs
@@ -285,15 +367,20 @@ def train_acoustic(
             drain_pending()       # window tail, before the stats are used
 
             current_step = int(state["step"])
-            ckpt.save(ckpt_dir, state["params"], current_step, float(state["lr"]))
+            if is_primary:
+                ckpt.save(ckpt_dir, state["params"], current_step,
+                          float(state["lr"]))
             if writer:
                 writer.add_scalar("learning_rate", float(state["lr"]), current_step)
                 writer.add_scalar("train/mean_error_rate", window_err, current_step)
                 for li, (c, h) in enumerate(state["states"]):
-                    writer.add_histogram(f"rnn/layer{li}_cell", np.asarray(c),
-                                         current_step)
-                    writer.add_histogram(f"rnn/layer{li}_hidden", np.asarray(h),
-                                         current_step)
+                    # Data-sharded states: on pods only this host's rows
+                    # are addressable; histogram those (representative —
+                    # rows are i.i.d. utterance streams).
+                    writer.add_histogram(f"rnn/layer{li}_cell",
+                                         _host_local(c), current_step)
+                    writer.add_histogram(f"rnn/layer{li}_hidden",
+                                         _host_local(h), current_step)
 
             if (
                 test_set
@@ -320,10 +407,11 @@ def train_acoustic(
                 if float(state["lr"]) < MIN_LEARNING_RATE:
                     logger.info("Learning rate is too low, exiting")
                     break
-                ckpt.save(ckpt_dir, state["params"], current_step,
-                          float(state["lr"]))
+                if is_primary:
+                    ckpt.save(ckpt_dir, state["params"], current_step,
+                              float(state["lr"]))
 
-            if max_epoch is not None and epoch > max_epoch:
+            if max_epoch is not None and global_epoch() > max_epoch:
                 logger.info("Max number of epochs reached, exiting training session")
                 break
             if max_steps is not None and total_steps >= max_steps:
@@ -343,7 +431,14 @@ def evaluate_dataset(
 
     Metric fetches trail dispatch by a bounded window, so the device runs
     batches back-to-back without per-batch syncs while in-flight memory
-    stays O(window), not O(test set)."""
+    stays O(window), not O(test set).
+
+    Multi-process pods: hosts' test shards can yield different batch
+    counts, but the sharded eval step psums across the pod, so every
+    process must dispatch the same number of steps.  Exhausted hosts keep
+    feeding all-padding batches (which the metrics already ignore) until a
+    tiny per-batch flag-allgather says every host is done."""
+    import jax as _jax
     from collections import deque
 
     WINDOW = 4
@@ -357,10 +452,30 @@ def evaluate_dataset(
         errs += float(m["mean_error_rate"])
         n += 1
 
-    for batch in pipe_mod.InputPipeline(test_set, char_map, pcfg):
-        in_flight.append(eval_fn(scfg, state, put_batch(batch)))
-        if len(in_flight) > WINDOW:
-            drain_one()
+    batches = iter(pipe_mod.InputPipeline(test_set, char_map, pcfg))
+    if _jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        empty = None
+        while True:
+            batch = next(batches, None)
+            done = batch is None
+            if multihost_utils.process_allgather(np.asarray(done)).all():
+                break
+            if done:
+                if empty is None:
+                    empty = pipe_mod.InputPipeline(
+                        [], char_map, pcfg
+                    ).empty_batch()
+                batch = empty
+            in_flight.append(eval_fn(scfg, state, put_batch(batch)))
+            if len(in_flight) > WINDOW:
+                drain_one()
+    else:
+        for batch in batches:
+            in_flight.append(eval_fn(scfg, state, put_batch(batch)))
+            if len(in_flight) > WINDOW:
+                drain_one()
     while in_flight:
         drain_one()
     if n == 0:

@@ -188,6 +188,46 @@ def test_pallas_grads_match_scan(setup):
         )
 
 
+def test_pallas_bf16_residual_grads_close_to_f32(setup):
+    """bf16 residual storage (the long-T HBM recipe): forward values are
+    IDENTICAL to the f32-residual path (residuals never feed the primal),
+    and gradients agree to bf16-roundoff tolerance."""
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    import functools
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rnn_speech_tpu.ops import lstm_pallas
+
+    state = lstm.zero_state(1, B, H)[0]
+    state = (state[0] + 0.3, state[1] - 0.2)
+    bf16_layer = functools.partial(
+        lstm_pallas.lstm_layer_pallas, residual_dtype=jnp.bfloat16
+    )
+
+    def loss(fn):
+        def inner(params, xx, st):
+            ys, (c, h) = fn(params, xx, seq_lengths, st)
+            return jnp.sum(ys**2) + jnp.sum(c * h), ys
+        return inner
+
+    with pltpu.force_tpu_interpret_mode():
+        (v32, y32), g32 = jax.value_and_grad(
+            loss(lstm_pallas.lstm_layer_pallas), argnums=(0, 1, 2),
+            has_aux=True,
+        )(layers[0], x, state)
+        (v16, y16), g16 = jax.value_and_grad(
+            loss(bf16_layer), argnums=(0, 1, 2), has_aux=True
+        )(layers[0], x, state)
+
+    np.testing.assert_array_equal(np.asarray(y16), np.asarray(y32))
+    np.testing.assert_allclose(float(v16), float(v32), rtol=1e-6)
+    for ref, low in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
+        ref, low = np.asarray(ref), np.asarray(low)
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(low - ref).max() / scale < 2e-2
+
+
 def test_pallas_grads_masked_rows_passthrough(setup):
     """Zero-length rows: state grads pass straight through the layer."""
     layers, x, _, (T, B, D, H) = setup

@@ -413,6 +413,50 @@ def test_shard_for_host():
     assert pipe_mod.shard_for_host(data) == data
 
 
+def test_auto_time_chunk_policy():
+    """Chunked remat engages only past the HBM budget, at reference-model
+    shapes: B=30 whole-sequence (round-1 behavior preserved), B=64 the
+    first fitting ladder rung, tiny shapes never chunk."""
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.models import acoustic
+
+    cfg = acoustic.AcousticConfig(
+        num_layers=3, hidden_size=1024, input_dim=120, num_labels=80,
+        compute_dtype=jnp.bfloat16, use_pallas=True,
+    )
+    assert acoustic.auto_time_chunk(cfg, 3510, 30) == 0
+    # B=64 whole-sequence is measured to fit and run fastest (202 utt/s).
+    assert acoustic.auto_time_chunk(cfg, 3510, 64) == 0
+    # B=128 must chunk, and chunk 1024 is measured to overflow — the
+    # policy's transient terms must keep it at or below 512.
+    c128 = acoustic.auto_time_chunk(cfg, 3510, 128)
+    assert 0 < c128 <= 512
+    # The chunked footprint the policy claims must actually be far below
+    # the whole-sequence one.
+    assert acoustic.training_residual_bytes(cfg, c128, 128) * 3 < \
+        acoustic.training_residual_bytes(cfg, 3510, 128)
+    # f32 residuals double the footprint -> chunking engages earlier.
+    cfg32 = acoustic.AcousticConfig(
+        num_layers=3, hidden_size=1024, input_dim=120, num_labels=80,
+        compute_dtype=jnp.float32, use_pallas=True,
+    )
+    assert acoustic.training_residual_bytes(cfg32, 3510, 30) > \
+        acoustic.training_residual_bytes(cfg, 3510, 30)
+    # Small-model shapes (unit tests, demos) stay whole-sequence.
+    tiny = acoustic.AcousticConfig(
+        num_layers=2, hidden_size=64, input_dim=20, num_labels=80,
+        compute_dtype=jnp.bfloat16,
+    )
+    assert acoustic.auto_time_chunk(tiny, 400, 8) == 0
+    # Frame stacking shortens T and can push a config back under budget.
+    stacked = acoustic.AcousticConfig(
+        num_layers=3, hidden_size=1024, input_dim=120, num_labels=80,
+        compute_dtype=jnp.bfloat16, frame_stack=3,
+    )
+    assert acoustic.auto_time_chunk(stacked, 3510, 30) == 0
+
+
 def test_clip_zero_disables_clipping():
     import jax.numpy as jnp
 

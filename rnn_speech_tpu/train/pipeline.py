@@ -188,6 +188,14 @@ class InputPipeline:
         ).reshape(mb, b)
         return out
 
+    def empty_batch(self) -> Dict[str, np.ndarray]:
+        """A full-shape all-padding macro batch (every row zero-length).
+
+        Multi-host eval sync: exhausted hosts dispatch these so every
+        process runs the same number of collective eval steps; the metric
+        masks already ignore zero-length rows."""
+        return self._assemble([])
+
     # ------------------------------------------------------------- iteration
 
     def _iter_native(self) -> Iterator[Dict[str, np.ndarray]]:

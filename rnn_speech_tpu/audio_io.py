@@ -271,16 +271,59 @@ def to_mono(data: np.ndarray) -> np.ndarray:
     return data.mean(axis=1)
 
 
-def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling with a Kaiser-windowed filter."""
-    if orig_sr == target_sr:
-        return x
-    from math import gcd
-
-    from scipy.signal import resample_poly
+def _polyphase_table(orig_sr: int, target_sr: int):
+    """Kaiser-windowed sinc polyphase taps — a numpy port of the native
+    loader's ``get_polyphase`` (runtime/native/loader.cpp), same constants
+    (16 zero crossings per side, beta 5.0), so the Python and C++ load
+    paths produce the SAME waveform.  Resampler divergence between them
+    means a clip decodes differently through ``--file`` than through the
+    training/eval pipeline (caught during round-2 verification: an overfit
+    model transcribed the two versions of one clip differently)."""
+    from math import ceil, gcd
 
     g = gcd(int(orig_sr), int(target_sr))
-    return resample_poly(x, target_sr // g, orig_sr // g).astype(np.float32)
+    up, down = target_sr // g, orig_sr // g
+    cutoff = min(1.0, target_sr / orig_sr)
+    k_zeros, beta = 16, 5.0
+    half = int(ceil(k_zeros / cutoff))
+    p = np.arange(up, dtype=np.float64)[:, None]
+    k = np.arange(2 * half, dtype=np.float64)[None, :]
+    dn = (k - half + 1) - p / up
+    u = dn / half
+    t = dn * cutoff
+    sinc = np.sinc(t)                      # sin(pi t)/(pi t), sinc(0)=1
+    from scipy.special import i0
+
+    win = i0(beta * np.sqrt(np.clip(1.0 - u * u, 0.0, None))) / i0(beta)
+    taps = np.where(np.abs(u) <= 1.0, cutoff * sinc * win, 0.0)
+    return up, down, half, taps.astype(np.float32)
+
+
+def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase Kaiser-windowed sinc resampling, tap-for-tap identical to
+    the native loader's ``resample_sinc``."""
+    if orig_sr == target_sr or len(x) == 0:
+        return np.asarray(x, np.float32)
+    up, down, half, taps = _polyphase_table(int(orig_sr), int(target_sr))
+    n_in = len(x)
+    n_out = -(-n_in * int(target_sr) // int(orig_sr))   # ceil
+    i = np.arange(n_out, dtype=np.int64)
+    num = i * down
+    n0 = num // up
+    phase = (num % up).astype(np.int64)
+    width = 2 * half
+    start = n0 - half + 1
+    # Zero-padded gather of each output's input window; accumulate in f64
+    # with f32 taps/input, matching the C++ loop's arithmetic.
+    pad = width
+    xp = np.zeros(n_in + 2 * pad, np.float32)
+    xp[pad : pad + n_in] = x
+    idx = start[:, None] + np.arange(width)[None, :] + pad
+    acc = np.einsum(
+        "ow,ow->o", taps[phase].astype(np.float64),
+        xp[idx].astype(np.float64),
+    )
+    return acc.astype(np.float32)
 
 
 def load(

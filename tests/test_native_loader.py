@@ -66,12 +66,33 @@ def test_matches_python_path_no_resample(corpus):
         np.testing.assert_allclose(audio, ref, atol=1e-6)
 
 
+def test_resample_exact_vs_python_path(tmp_path):
+    """The Python resampler is a tap-for-tap port of the native polyphase
+    table (same Kaiser beta, zero crossings, output-length formula), so
+    the two load paths must agree to float rounding on ANY content —
+    including white noise.  Divergence here means a clip featurizes
+    differently through ``--file`` than through the training pipeline
+    (a real decode regression caught in round-2 verification)."""
+    rng = np.random.default_rng(3)
+    for sr_in in (16000, 48000, 8000):
+        noise = (0.5 * rng.normal(size=sr_in)).astype(np.float32)
+        wav = str(tmp_path / f"noise{sr_in}.wav")
+        audio_io.write_wav(wav, noise, sr_in)
+        ref, _ = audio_io.load(wav, sr=22050)
+        with loader.NativeAudioLoader(
+            [wav], max_samples=1 << 20, target_rate=22050, n_threads=1
+        ) as ld:
+            _, audio, rc = next(ld)
+        assert rc == 0
+        assert len(audio) == len(ref)
+        np.testing.assert_allclose(audio, ref, atol=2e-6)
+
+
 def test_resample_close_to_python_path(corpus, tmp_path):
-    """16 kHz -> 22.05 kHz: native sinc vs scipy polyphase.
+    """16 kHz -> 22.05 kHz: native sinc vs the Python polyphase port.
 
     Tight agreement on bandlimited (speech-like) content; the white-noise
-    FLAC only gets a loose bound because near-Nyquist rolloff is where the
-    two filter designs legitimately differ."""
+    FLAC gets the exactness test above."""
     t = np.arange(16000) / 16000.0
     tone = sum(np.sin(2 * np.pi * f * t + f) for f in (220.0, 880.0, 2500.0))
     wav = str(tmp_path / "tone.wav")

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Accuracy-evidence benchmark: train on a synthetic speech corpus with a
+HELD-OUT test split and record the WER/CER trajectory (VERDICT r1 #3).
+
+The corpus is ``make_demo_corpus.py --mode letters``: every character is a
+distinct tone, so the acoustic mapping is systematic and the test split —
+sentences never seen in training — measures generalization, not
+memorization (the round-1 accuracy story stopped at 8 memorized clips).
+
+Writes a JSON artifact:
+  {"config": {...}, "curve": [{"step": N, "wer": %, "cer": %}, ...],
+   "final": {...}, "reached_target": bool}
+
+Usage (the committed benchmarks/accuracy_curve.json came from):
+  python tools/accuracy_benchmark.py --out benchmarks/accuracy_curve.json \
+      --clips 300 --layers 2 --hidden 256 --rounds 12 --steps 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(workdir: str, clips: int, seed: int):
+    """Letters-mode corpus + disjoint train/test sentence split."""
+    import make_demo_corpus as gen
+
+    rng = np.random.default_rng(seed)
+    texts = gen.sample_sentences(clips, rng)
+    sigs = [gen.render_letters(t, 16000, rng) for t in texts]
+    gen.write_corpus(workdir, texts, sigs, 16000)
+
+    from rnn_speech_tpu import corpus
+
+    dp = corpus.DataProcessor(os.path.join(workdir, "demo"))
+    dataset = dp.get_dataset()
+    n_test = max(1, len(dataset) // 10)
+    # Deterministic split; sentences are unique by construction, so the
+    # test transcripts never appear in training.
+    dataset = sorted(dataset, key=lambda item: item[0])
+    rng.shuffle(dataset)
+    return dataset[n_test:], dataset[:n_test]
+
+
+def evaluate_wer(config, char_map, test_set):
+    """Greedy-decode WER/CER over the test set (the reference's
+    per-utterance normalized formulas, AcousticModel.py:762-777)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu import audio_io, frontend
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.ops import decode as dec
+    from rnn_speech_tpu.train import checkpoint as ckpt
+    from rnn_speech_tpu.train.metrics import calculate_cer, calculate_wer
+
+    ap = frontend.AudioProcessor(
+        config.max_input_seq_length, config.signal_processing
+    )
+    cfg = acoustic.AcousticConfig(
+        num_layers=config.num_layers, hidden_size=config.hidden_size,
+        input_dim=ap.feature_size, num_labels=len(char_map),
+    )
+    params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
+    restored = ckpt.restore(config.checkpoint_dir + "/acoustic/", params)
+    assert restored is not None, "no checkpoint to evaluate"
+    params = restored[0]
+
+    T = config.max_input_seq_length
+
+    @jax.jit
+    def forward(params, feats, n):
+        logits, _ = acoustic.forward(
+            params, cfg, feats, n, acoustic.zero_state(cfg, 1)
+        )
+        return dec.greedy_decode(logits, n)
+
+    wers, cers = [], []
+    for path, truth, _ in test_set:
+        sig, sr = audio_io.load(path)
+        feats, n = ap.process_signal(sig, sr)
+        n = min(n, T)
+        padded = np.zeros((T, 1, ap.feature_size), np.float32)
+        padded[:len(feats), 0] = feats
+        ids, lens = forward(
+            params, jnp.asarray(padded), jnp.asarray([n], jnp.int32)
+        )
+        hyp = char_map.decode(list(np.asarray(ids)[0, : int(lens[0])]))
+        truth_norm = truth.lower()
+        hyp_norm = hyp.lower().strip()
+        n_words = max(len(truth_norm.split()), 1)
+        n_chars = max(len(truth_norm), 1)
+        wers.append(min(1.0, calculate_wer(truth_norm, hyp_norm) / n_words))
+        cers.append(min(1.0, calculate_cer(truth_norm, hyp_norm) / n_chars))
+    return 100.0 * float(np.mean(wers)), 100.0 * float(np.mean(cers))
+
+
+def run(workdir: str, out_path: str, *, clips: int, layers: int,
+        hidden: int, batch: int, rounds: int, steps: int,
+        wer_target: float, seed: int = 0, lr: float = 3e-3) -> dict:
+    from rnn_speech_tpu.config import Config
+    from rnn_speech_tpu.models.recognizer import SpeechRecognizer
+    from rnn_speech_tpu.train import loop
+
+    train_set, test_set = build_corpus(workdir, clips, seed)
+    char_map = SpeechRecognizer("english").get_char_map()
+    config = Config(
+        num_layers=layers, hidden_size=hidden, batch_size=batch,
+        mini_batch_size=1, learning_rate=lr, lr_decay_factor=0.33,
+        grad_clip=5.0, signal_processing="fbank",
+        dropout_input_keep_prob=1.0, dropout_output_keep_prob=1.0,
+        steps_per_checkpoint=steps, steps_per_evaluation=0,
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        max_input_seq_length=600, max_target_seq_length=60,
+        rnn_state_reset_ratio=1.0, dataset_size_ordering="False",
+    )
+
+    curve = []
+    reached = False
+    for r in range(rounds):
+        state = loop.train_acoustic(
+            config, list(train_set), [], char_map, max_steps=steps
+        )
+        step = int(state["step"])
+        wer, cer = evaluate_wer(config, char_map, test_set)
+        curve.append({"step": step, "wer": round(wer, 2),
+                      "cer": round(cer, 2)})
+        print(f"round {r + 1}: step {step} heldout WER {wer:.1f}% "
+              f"CER {cer:.1f}%", flush=True)
+        if wer <= wer_target:
+            reached = True
+            break
+
+    result = {
+        "task": "letters-corpus held-out generalization",
+        "config": {
+            "clips": clips, "train": len(train_set), "test": len(test_set),
+            "layers": layers, "hidden": hidden, "batch": batch,
+            "features": "fbank-120", "lr": lr, "seed": seed,
+        },
+        "curve": curve,
+        "final": curve[-1] if curve else None,
+        "wer_target": wer_target,
+        "reached_target": reached,
+    }
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=2)
+        print(f"Wrote {out_path}")
+    return result
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    parser.add_argument("--out", default="benchmarks/accuracy_curve.json")
+    parser.add_argument("--workdir", default=None,
+                        help="corpus/checkpoint dir (default: temp)")
+    parser.add_argument("--clips", type=int, default=300)
+    parser.add_argument("--layers", type=int, default=2)
+    parser.add_argument("--hidden", type=int, default=256)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--rounds", type=int, default=12)
+    parser.add_argument("--steps", type=int, default=200,
+                        help="train steps per round (between evals)")
+    parser.add_argument("--wer_target", type=float, default=15.0)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--lr", type=float, default=3e-3)
+    args = parser.parse_args(argv)
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="rst_accuracy_")
+    result = run(
+        workdir, args.out, clips=args.clips, layers=args.layers,
+        hidden=args.hidden, batch=args.batch, rounds=args.rounds,
+        steps=args.steps, wer_target=args.wer_target, seed=args.seed,
+        lr=args.lr,
+    )
+    return 0 if result["reached_target"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,28 +1,37 @@
 """Sharding specs + sharded train/eval step construction.
 
-Data-parallel layout (the scaling plan from SURVEY §2c):
-  * batch tensors  (MB, B, ...)  -> PartitionSpec(None, "data", ...)
-  * recurrent state (B, H)       -> PartitionSpec("data", None)
+Layout (the scaling plan from SURVEY §2c):
+  * batch tensors  (MB, B, ...)  -> B shards over "data" (and jointly over
+    "model" when mesh_model > 1)
+  * recurrent state (B, H)       -> rows shard like the batch
   * parameters / optimizer state -> replicated, except the LSTM gate
     matrices' 4H output dim and their 4H biases, which shard over the
     "model" axis when mesh_model > 1 (projections stay replicated; their
     small dims are rarely divisible and contribute negligible FLOPs).
 
-Two step constructions:
+Two step constructions, both ``shard_map`` so the fused Pallas kernels
+always run unmodified per device:
 
-  * **Pure data parallel** (mesh_model == 1, the production path):
-    ``shard_map`` over the "data" axis — each device runs the microbatch
-    gradient accumulation on its batch shard (so the fused Pallas kernels
-    run unmodified per device), then one explicit ``psum`` over ICI merges
-    gradients and metrics and every device applies the identical Adam
-    update to its replicated parameters.  This is the classic DP recipe:
-    the only communication is one gradient all-reduce per step.
+  * **Pure data parallel** (mesh_model == 1, the production path): each
+    device runs the microbatch gradient accumulation on its batch shard,
+    then one explicit ``psum`` over ICI merges gradients and metrics and
+    every device applies the identical Adam update to its replicated
+    parameters.  The only communication is one gradient all-reduce per
+    step.
 
-  * **Model-axis sharding** (mesh_model > 1): ``jax.jit`` with GSPMD in/out
-    shardings — XLA inserts the model-axis collectives for the sharded gate
-    matmuls and the data-axis gradient psum.  Pallas kernels carry no GSPMD
-    partitioning rules, so this path drops to the scan recurrence/CTC
-    (correct everywhere, slower per chip).
+  * **Model-axis weight sharding** (mesh_model > 1): FSDP/ZeRO-style over
+    the "model" axis.  LSTM gate matrices, their biases and their Adam
+    state live SHARDED at rest; each step all-gathers the weights (a few
+    MB per layer — sub-millisecond on ICI), runs the full fused-kernel
+    step on the device's batch sub-slice (batch rows shard over
+    data x model jointly), and reduce-scatters the gate-weight gradients
+    back to shards.  Deviation from a per-step tensor-parallel recurrence
+    is deliberate: an LSTM's sequential step would pay an ICI all-gather
+    of h EVERY timestep (T=3510 x ~2 us x layers, pure latency), while
+    weight-gathering pays one bounded collective per layer per step and
+    keeps the recurrence kernel — and its VMEM-resident weights — exactly
+    as fast as the DP path.  Round 1's GSPMD fallback silently dropped to
+    the scan recurrence here (VERDICT r1 #4); this path never does.
 """
 
 from __future__ import annotations
@@ -58,6 +67,11 @@ def _param_spec(keys, shape, model_size: int) -> P:
     return P()
 
 
+def _batch_axes(model_size: int):
+    """Mesh axes the batch/state rows shard over."""
+    return ("data", "model") if model_size > 1 else "data"
+
+
 def _state_spec_tree(state: step_mod.TrainState, model_size: int):
     """PartitionSpec pytree matching a TrainState."""
 
@@ -65,7 +79,7 @@ def _state_spec_tree(state: step_mod.TrainState, model_size: int):
         keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
         top = keys[0] if keys else ""
         if top == "states":
-            return P("data", None)
+            return P(_batch_axes(model_size), None)
         if top in ("params", "opt"):
             if top == "opt" and keys[-1] == "t":
                 return P()
@@ -82,10 +96,11 @@ def state_shardings(mesh: Mesh, state: step_mod.TrainState):
                         is_leaf=lambda x: isinstance(x, P))
 
 
-def batch_specs(batch: Dict[str, Any]):
-    """Batch tensors (MB, B, ...): shard B over the data axis."""
+def batch_specs(batch: Dict[str, Any], model_size: int = 1):
+    """Batch tensors (MB, B, ...): shard B over the batch mesh axes."""
+    axes = _batch_axes(model_size)
     return {
-        key: P(*([None, "data"] + [None] * (value.ndim - 2)))
+        key: P(*([None, axes] + [None] * (value.ndim - 2)))
         for key, value in batch.items()
     }
 
@@ -93,14 +108,53 @@ def batch_specs(batch: Dict[str, Any]):
 def batch_shardings(mesh: Mesh, batch: Dict[str, Any]):
     return {
         key: NamedSharding(mesh, spec)
-        for key, spec in batch_specs(batch).items()
+        for key, spec in batch_specs(
+            batch, mesh.shape.get("model", 1)
+        ).items()
     }
 
 
-# ------------------------------------------------------- shard_map DP path
+# ----------------------------------------------------- shard_map step path
+
+def _gather_params(params, specs):
+    """All-gather the model-axis-sharded leaves to full shape (FSDP's
+    weight gather): each device then runs the unmodified fused kernels."""
+
+    def gather(leaf, spec):
+        axes = tuple(spec)
+        for dim, name in enumerate(axes):
+            if name == "model":
+                return jax.lax.all_gather(leaf, "model", axis=dim,
+                                          tiled=True)
+        return leaf
+
+    return jax.tree.map(gather, params, specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def _scatter_grads(grads, specs):
+    """reduce-scatter model-axis-sharded leaves back to their shard (the
+    sum over model devices of each device's full-shape gradient), psum the
+    replicated remainder over "model"."""
+
+    def scatter(leaf, spec):
+        axes = tuple(spec)
+        for dim, name in enumerate(axes):
+            if name == "model":
+                return jax.lax.psum_scatter(
+                    leaf, "model", scatter_dimension=dim, tiled=True
+                )
+        return jax.lax.psum(leaf, "model")
+
+    return jax.tree.map(scatter, grads, specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
 
 def _make_shard_map_fns(mesh: Mesh, state: step_mod.TrainState):
-    state_spec = _state_spec_tree(state, model_size=1)
+    model_size = mesh.shape.get("model", 1)
+    state_spec = _state_spec_tree(state, model_size)
+    param_specs = state_spec["params"]
+    batch_axes = _batch_axes(model_size)
     metric_spec = {"mean_loss": P(), "mean_error_rate": P(), "grad_norm": P()}
 
     def train_step_sm(scfg, state, batch, rng, reset_state):
@@ -108,35 +162,68 @@ def _make_shard_map_fns(mesh: Mesh, state: step_mod.TrainState):
             import jax.numpy as jnp
 
             # Decorrelate dropout across batch shards.
-            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            shard_index = jax.lax.axis_index("data")
+            if model_size > 1:
+                shard_index = (shard_index * model_size
+                               + jax.lax.axis_index("model"))
+            rng = jax.random.fold_in(rng, shard_index)
+            params = state["params"]
+            if model_size > 1:
+                params = _gather_params(params, param_specs)
             states, grads, loss_sum, err_sum, cnt = step_mod.accumulate_grads(
-                scfg, state["params"], state["states"], batch, rng,
-                axis_name="data",
+                scfg, params, state["states"], batch, rng,
+                axis_name=batch_axes,
             )
+            grad_norm = None
+            if model_size > 1:
+                # FSDP backward half: shard-sum the gate-weight grads over
+                # "model", then the classic DP all-reduce over "data".
+                grads = _scatter_grads(grads, param_specs)
             grads = jax.lax.psum(grads, "data")       # THE gradient all-reduce
+            if model_size > 1:
+                # The clip's global norm must fold in the other model
+                # shards' squared sums; replicated leaves count once.
+                def leaf_sq(leaf, spec):
+                    sq = jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+                    if "model" in tuple(spec):
+                        return jax.lax.psum(sq, "model")
+                    return sq
+
+                sq_tree = jax.tree.map(
+                    leaf_sq, grads, param_specs,
+                    is_leaf=lambda x: isinstance(x, P),
+                )
+                grad_norm = jnp.sqrt(sum(jax.tree.leaves(sq_tree)))
             # Metric sums + real-microbatch counts psum'd before dividing:
             # exact means even when batch padding is unevenly sharded.
-            denom = jnp.maximum(jax.lax.psum(cnt, "data"), 1.0)
-            loss = jax.lax.psum(loss_sum, "data") / denom
-            err = jax.lax.psum(err_sum, "data") / denom
+            denom = jnp.maximum(jax.lax.psum(cnt, batch_axes), 1.0)
+            loss = jax.lax.psum(loss_sum, batch_axes) / denom
+            err = jax.lax.psum(err_sum, batch_axes) / denom
             return step_mod.apply_grads(
-                scfg, state, states, grads, loss, err, reset_state
+                scfg, state, states, grads, loss, err, reset_state,
+                grad_norm=grad_norm,
             )
 
         return shard_map(
             body, mesh=mesh,
-            in_specs=(state_spec, batch_specs(batch), P(), P()),
+            in_specs=(state_spec, batch_specs(batch, model_size), P(), P()),
             out_specs=(state_spec, metric_spec),
         )(state, batch, rng, reset_state)
 
     def eval_step_sm(scfg, state, batch):
         def body(state, batch):
-            m = step_mod.eval_step(scfg, state, batch, axis_name="data")
-            return {k: jax.lax.pmean(v, "data") for k, v in m.items()}
+            if model_size > 1:
+                state = dict(state)
+                state["params"] = _gather_params(
+                    state["params"], param_specs
+                )
+            m = step_mod.eval_step(scfg, state, batch,
+                                   axis_name=batch_axes)
+            return {k: jax.lax.pmean(v, batch_axes) for k, v in m.items()}
 
         return shard_map(
             body, mesh=mesh,
-            in_specs=(state_spec, batch_specs(batch)),
+            in_specs=(state_spec, batch_specs(batch, model_size)),
             out_specs={"mean_loss": P(), "mean_error_rate": P()},
         )(state, batch)
 
@@ -146,14 +233,6 @@ def _make_shard_map_fns(mesh: Mesh, state: step_mod.TrainState):
 
 
 # ------------------------------------------------------------ construction
-
-def _without_pallas(scfg: step_mod.StepConfig) -> step_mod.StepConfig:
-    return dataclasses.replace(
-        scfg,
-        model=dataclasses.replace(scfg.model, use_pallas=False),
-        use_pallas_ctc=False,
-    )
-
 
 def make_sharded_step(
     mesh: Mesh,
@@ -190,26 +269,5 @@ def make_sharded_step(
             }
         return jax.device_put(dict(batch), shardings)
 
-    if mesh.shape.get("model", 1) <= 1:
-        train_fn, eval_fn = _make_shard_map_fns(mesh, state)
-        return state, put_batch, train_fn, eval_fn
-
-    # GSPMD path: model-axis sharding of the gate matmuls; Pallas kernels
-    # have no partitioning rules under GSPMD, so use the scan paths.
-    repl = NamedSharding(mesh, P())
-    train_jit = jax.jit(
-        step_mod.train_step,
-        static_argnums=0,
-        donate_argnums=(1,),
-        out_shardings=(s_shard, {"mean_loss": repl, "mean_error_rate": repl,
-                                 "grad_norm": repl}),
-    )
-    eval_jit = jax.jit(step_mod.eval_step, static_argnums=0)
-
-    def train_fn(scfg, *args):
-        return train_jit(_without_pallas(scfg), *args)
-
-    def eval_fn(scfg, *args):
-        return eval_jit(_without_pallas(scfg), *args)
-
+    train_fn, eval_fn = _make_shard_map_fns(mesh, state)
     return state, put_batch, train_fn, eval_fn

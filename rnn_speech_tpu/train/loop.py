@@ -174,8 +174,12 @@ def train_acoustic(
         # Auto policy: chunked remat engages only when the whole-sequence
         # residual footprint would exceed HBM (large fused batches at long
         # max_input_seq_length); -1 forces whole-sequence, > 0 forces that
-        # chunk.  Under DP sharding each device sees 1/mesh of the batch.
-        data_shards = mesh.shape.get("data", 1) if mesh is not None else 1
+        # chunk.  Batch rows shard over data x model, so each device sees
+        # batch/(data*model) rows.
+        data_shards = (
+            mesh.shape.get("data", 1) * mesh.shape.get("model", 1)
+            if mesh is not None else 1
+        )
         chunk = acoustic.auto_time_chunk(
             model_cfg, config.max_input_seq_length,
             max(1, batch_size // data_shards),

@@ -38,7 +38,15 @@ def clip_by_global_norm(grads: Pytree, clip: float) -> Tuple[Pytree, jnp.ndarray
 
     clip <= 0 disables clipping (the documented config spelling for "no
     clip") rather than zeroing every gradient."""
-    norm = global_norm(grads)
+    return clip_with_norm(grads, clip, global_norm(grads))
+
+
+def clip_with_norm(
+    grads: Pytree, clip: float, norm: jnp.ndarray
+) -> Tuple[Pytree, jnp.ndarray]:
+    """Clip against an externally-computed global norm — model-axis-sharded
+    training must fold cross-shard squared sums into the norm, which the
+    local tree alone cannot see."""
     if clip <= 0:
         return grads, norm
     scale = clip / jnp.maximum(norm, clip)

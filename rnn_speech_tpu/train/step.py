@@ -36,12 +36,23 @@ TrainState = Dict[str, Any]   # params / opt / states / step / lr
 
 
 def _vary(x, axis_name):
-    """Mark x as device-varying over a shard_map axis (scan carries inside
-    shard_map must be vma-typed to match their varying outputs)."""
+    """Mark x as device-varying over shard_map axis/axes (scan carries
+    inside shard_map must be vma-typed to match their varying outputs).
+    Axes the value already varies over are skipped — e.g. a gradient
+    buffer zeros_like'd from model-axis-gathered weights is already
+    varying over "model"."""
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    try:
+        current = jax.typeof(x).vma
+    except Exception:  # outside shard_map tracing / old jax
+        current = frozenset()
+    axes = tuple(a for a in axes if a not in current)
+    if not axes:
+        return x
     pcast = getattr(jax.lax, "pcast", None)
     if pcast is not None:
-        return pcast(x, axis_name, to="varying")
-    return jax.lax.pvary(x, axis_name)  # pre-pcast spelling
+        return pcast(x, axes, to="varying")
+    return jax.lax.pvary(x, axes)  # pre-pcast spelling
 
 
 @dataclass(frozen=True)
@@ -185,10 +196,20 @@ def apply_grads(
     mean_loss: jnp.ndarray,
     mean_err: jnp.ndarray,
     reset_state: jnp.ndarray,
+    grad_norm: Optional[jnp.ndarray] = None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """Clip + Adam + state-reset half of a train step (replicated under DP)."""
+    """Clip + Adam + state-reset half of a train step (replicated under DP).
+
+    ``grad_norm`` overrides the locally-computed global norm — required
+    when the gradient tree is model-axis sharded (the true norm folds in
+    the other shards' squared sums)."""
     params = state["params"]
-    clipped, grad_norm = optim.clip_by_global_norm(grad_sum, cfg.grad_clip)
+    if grad_norm is None:
+        clipped, grad_norm = optim.clip_by_global_norm(grad_sum, cfg.grad_clip)
+    else:
+        clipped, grad_norm = optim.clip_with_norm(
+            grad_sum, cfg.grad_clip, grad_norm
+        )
     new_params, new_opt = optim.adam_update(
         params, clipped, state["opt"], state["lr"]
     )

@@ -115,13 +115,16 @@ def bench_train() -> dict:
         num_layers=LAYERS, hidden_size=HIDDEN, input_dim=fe.feature_size,
         num_labels=LABELS, compute_dtype=jnp.bfloat16, use_pallas=on_tpu,
     )
-    chunk = acoustic.auto_time_chunk(cfg, T_FRAMES, B)
+    chunk, res_mode = acoustic.training_memory_plan(cfg, T_FRAMES, B)
     if os.environ.get("RST_TRAIN_CHUNK") is not None:
         chunk = int(os.environ["RST_TRAIN_CHUNK"])   # experiment override
-    if chunk:
+    if os.environ.get("RST_TRAIN_RESIDUAL_MODE"):
+        res_mode = os.environ["RST_TRAIN_RESIDUAL_MODE"]
+    if chunk or res_mode != "gates":
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, time_chunk=chunk)
+        cfg = dataclasses.replace(cfg, time_chunk=chunk,
+                                  residual_mode=res_mode)
     scfg = step_mod.StepConfig(model=cfg, frontend=fe,
                                use_pallas_ctc=on_tpu)
     state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg, B, 3e-4)
@@ -157,6 +160,7 @@ def bench_train() -> dict:
         "train_ms_per_step": round(1e3 * dt / ITER, 1),
         "train_batch": B,
         "train_time_chunk": chunk,
+        "train_residual_mode": res_mode,
     }
 
 

@@ -38,6 +38,12 @@ class AcousticConfig:
     use_pallas: bool = False
     remat: bool = False
     time_chunk: int = 0     # rematerialized scan chunking (0 = whole seq)
+    # Backward-residual strategy of the fused recurrence: "gates" streams
+    # activated gates (cheapest backward), "recompute" stores only the
+    # cell sequence and rebuilds gates in the backward kernel (~40% of
+    # the residual bytes — what fits B=128 whole-sequence at T=3510).
+    # training_memory_plan() picks this automatically.
+    residual_mode: str = "gates"
     # Stack N adjacent frames and subsample time by N before the LSTM
     # (Sak et al., arXiv:1507.06947; arXiv:1705.05992): the recurrence —
     # the sequential, latency-bound part — runs over T/N steps on an
@@ -138,6 +144,7 @@ def forward(
         use_pallas=cfg.use_pallas,
         remat=cfg.remat,
         time_chunk=cfg.time_chunk,
+        residual_mode=cfg.residual_mode,
     )
 
     logits = (
@@ -174,18 +181,66 @@ def param_count(params: Params) -> int:
 DEFAULT_RESIDUAL_BUDGET = 12_900 << 20
 
 
-def training_residual_bytes(cfg: AcousticConfig, T: int, B: int) -> int:
+def training_residual_bytes(
+    cfg: AcousticConfig, T: int, B: int, residual_mode: str = "gates"
+) -> int:
     """Estimated backward-residual HBM footprint of the whole-sequence LSTM
     stack at T frames (post frame-stacking) and device batch B.
 
-    Per layer and timestep the fused path stores the activated gates
-    (4H, residual dtype), the carried cell (H, residual dtype), plus the
-    f32 layer output and layer input kept by the surrounding autodiff
-    (2 * 4H bytes)."""
+    ``"gates"`` stores per layer/step the activated gates (4H, residual
+    dtype), the carried cell (H, residual dtype), plus the f32 layer
+    output and input kept by the surrounding autodiff (2 * 4H bytes).
+    ``"recompute"`` stores only residual-dtype copies of the cell
+    sequence, layer output and layer input (3H bytes at bf16) — gates are
+    rebuilt inside the backward kernel."""
     H = cfg.hidden_size
     rb = 2 if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16 else 4
-    per_step_layer = B * (4 * H * rb + H * rb + 8 * H)
+    if residual_mode == "recompute":
+        per_step_layer = B * 3 * H * rb
+    else:
+        per_step_layer = B * (4 * H * rb + H * rb + 8 * H)
     return cfg.num_layers * T * per_step_layer
+
+
+def training_memory_plan(
+    cfg: AcousticConfig,
+    T: int,
+    B: int,
+    budget_bytes: int = DEFAULT_RESIDUAL_BUDGET,
+) -> Tuple[int, str]:
+    """(time_chunk, residual_mode) for training at these shapes.
+
+    Preference order, measured on a v5e at 3x1024 / T=3510:
+      1. whole-sequence, gates residuals — fastest backward (B=64:
+         316 ms/step, 202 utt/s, the flagship number)
+      2. whole-sequence, recompute residuals — gates rebuilt in the
+         backward kernel (two extra VMEM-resident matmuls per step, bf16
+         inter-layer activations): slower per row (B=64: 379 ms) but fits
+         batches the gates residuals cannot, and beats chunked remat
+         there (B=96: 173 utt/s vs chunk-1024's 138)
+      3. chunked remat with gates residuals (double forward; last resort
+         — B=128 whole-sequence fails to compile in either residual mode)
+    """
+    if training_residual_bytes(cfg, _stacked_T(cfg, T), B) <= budget_bytes:
+        return 0, "gates"
+    # Recompute mode additionally holds one layer's dgates emission, the
+    # dout cotangent stream and an activation copy alongside its
+    # residuals (terms calibrated on-chip: B=96 compiles, B=128 does not).
+    rb = 2 if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16 else 4
+    Ts = _stacked_T(cfg, T)
+    H = cfg.hidden_size
+    recompute = (
+        training_residual_bytes(cfg, Ts, B, "recompute")
+        + Ts * B * 4 * H * rb        # dgates transient
+        + Ts * B * 4 * H             # dout + activation-copy streams
+    )
+    if cfg.use_pallas and recompute <= budget_bytes:
+        return 0, "recompute"
+    return auto_time_chunk(cfg, T, B, budget_bytes), "gates"
+
+
+def _stacked_T(cfg: AcousticConfig, T: int) -> int:
+    return -(-T // max(cfg.frame_stack, 1))
 
 
 def auto_time_chunk(

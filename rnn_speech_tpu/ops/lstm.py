@@ -134,6 +134,7 @@ def lstm_stack(
     use_pallas: bool = False,
     remat: bool = False,
     time_chunk: int = 0,
+    residual_mode: str = "gates",
 ) -> Tuple[jnp.ndarray, List[LayerState]]:
     """Run the full stack. Returns (outputs (T, B, H), new per-layer states).
 
@@ -155,8 +156,21 @@ def lstm_stack(
             input_keep_prob=input_keep_prob,
             output_keep_prob=output_keep_prob,
             use_pallas=use_pallas, time_chunk=time_chunk,
+            residual_mode=residual_mode,
         )
     out = x
+    # Recompute-residual training in a low-precision compute dtype keeps
+    # the inter-layer activations in that dtype too: the layer matmuls
+    # cast to it anyway, the saved x/h residuals are low-precision by
+    # design, and the halved activation/cotangent streams are what fit
+    # the widest whole-sequence batches (B=128 at T=3510) in HBM.
+    low_precision_chain = (
+        use_pallas
+        and residual_mode == "recompute"
+        and jnp.dtype(compute_dtype) != jnp.float32
+    )
+    if low_precision_chain:
+        out = out.astype(compute_dtype)
     new_states: List[LayerState] = []
     rng = dropout_rng
     for idx, (params, state) in enumerate(zip(layers, states)):
@@ -168,7 +182,8 @@ def lstm_stack(
             from rnn_speech_tpu.ops import lstm_pallas
 
             layer_fn = lambda p, o, s: lstm_pallas.lstm_layer_pallas(
-                p, o, seq_lengths, s, compute_dtype=compute_dtype
+                p, o, seq_lengths, s, compute_dtype=compute_dtype,
+                residual_mode=residual_mode,
             )
         else:
             layer_fn = lambda p, o, s: lstm_layer_scan(
@@ -177,6 +192,8 @@ def lstm_stack(
         if remat:
             layer_fn = jax.checkpoint(layer_fn)
         out, state = layer_fn(params, out, state)
+        if low_precision_chain:
+            out = out.astype(compute_dtype)
         new_states.append(state)
 
         if rng is not None and output_keep_prob < 1.0:
@@ -188,6 +205,7 @@ def lstm_stack(
 def _lstm_stack_chunked(
     layers, x, seq_lengths, states, *, compute_dtype, dropout_rng,
     input_keep_prob, output_keep_prob, use_pallas, time_chunk,
+    residual_mode="gates",
 ):
     """Outer scan over rematerialized time chunks of the full stack."""
     T, B, D = x.shape
@@ -210,7 +228,7 @@ def _lstm_stack_chunked(
             compute_dtype=compute_dtype, dropout_rng=sub,
             input_keep_prob=input_keep_prob,
             output_keep_prob=output_keep_prob,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, residual_mode=residual_mode,
         )
         return (states, rng), out
 

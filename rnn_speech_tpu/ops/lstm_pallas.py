@@ -312,6 +312,197 @@ def _lstm_recurrence_bwd(dout, gates_act, c_seq, c_prev_seq, mask, w_h,
     )(dout, gates_act, c_seq, c_prev_seq, mask, w_h, dhn, dcn)
 
 
+# ----------------------------------------- recompute-mode training kernels
+
+def _recurrence_train_lean_kernel(mask_ref, xproj_ref, wh_ref, h0_ref,
+                                  c0_ref, out_ref, hn_ref, cn_ref, cseq_ref,
+                                  h_s, c_s):
+    """Forward recurrence streaming only the carried cell sequence — the
+    activated gates are recomputed inside the backward kernel instead of
+    stored (the memory-lean residual strategy: ~H instead of ~5H bytes per
+    step and layer, what lets B=128 x T=3510 train whole-sequence)."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    h = h_s[:]
+    c = c_s[:]
+    H = h.shape[-1]
+
+    gates = xproj_ref[0] + jnp.dot(
+        h.astype(wh_ref.dtype), wh_ref[:], preferred_element_type=jnp.float32
+    )
+    i_a = jax.nn.sigmoid(gates[:, :H])
+    g_a = jnp.tanh(gates[:, H : 2 * H])
+    f_a = jax.nn.sigmoid(gates[:, 2 * H : 3 * H] + 1.0)
+    o_a = jax.nn.sigmoid(gates[:, 3 * H :])
+    c_new = f_a * c + i_a * g_a
+    h_new = o_a * jnp.tanh(c_new)
+
+    m = mask_ref[0, 0][:, None]
+    c_carried = m * c_new + (1.0 - m) * c
+    c_s[:] = c_carried
+    h_s[:] = m * h_new + (1.0 - m) * h
+    out_ref[0] = m * h_new
+    cseq_ref[0] = c_carried.astype(cseq_ref.dtype)
+
+    @pl.when(t == T - 1)
+    def _():
+        hn_ref[:] = h_s[:]
+        cn_ref[:] = c_s[:]
+
+
+def _lstm_recurrence_train_lean(x_proj, w_h, mask, h0, c0, res_dtype):
+    """Forward with lean residuals. Returns (out, hn, cn, c_seq)."""
+    T, B, four_h = x_proj.shape
+    H = four_h // 4
+    return pl.pallas_call(
+        _recurrence_train_lean_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, four_h), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), res_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * four_h,
+            bytes_accessed=T * B * (four_h * 4 + H * 4
+                                    + H * jnp.dtype(res_dtype).itemsize)
+            + H * four_h * w_h.dtype.itemsize,
+            transcendentals=4 * T * B * H,
+        ),
+    )(mask, x_proj, w_h, h0, c0)
+
+
+def _recurrence_bwd_recompute_kernel(dout_ref, x_ref, hprev_ref, cseq_ref,
+                                     cprev_ref, mask_ref, wx_ref, b_ref,
+                                     wh_ref, dhn_ref, dcn_ref,
+                                     dgates_ref, dh0_ref, dc0_ref,
+                                     dh_s, dc_s):
+    """Reverse-time step that RECOMPUTES the gate activations — both
+    weight matrices stay VMEM-resident, so the recompute costs two
+    (B,H)x(H,4H) matmuls per step and zero extra HBM traffic beyond the
+    x/h_prev/c streams (all in the residual dtype)."""
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        dh_s[:] = dhn_ref[:]
+        dc_s[:] = dcn_ref[:]
+
+    H = dh_s.shape[-1]
+    h_prev = hprev_ref[0]
+    gates = (
+        jnp.dot(x_ref[0], wx_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32)
+        + b_ref[0]
+    )
+    i_a = jax.nn.sigmoid(gates[:, :H])
+    g_a = jnp.tanh(gates[:, H : 2 * H])
+    f_a = jax.nn.sigmoid(gates[:, 2 * H : 3 * H] + 1.0)
+    o_a = jax.nn.sigmoid(gates[:, 3 * H :])
+
+    m = mask_ref[0, 0][:, None]
+    dh_carry = dh_s[:]
+    dc_carry = dc_s[:]
+
+    tanh_c = jnp.tanh(cseq_ref[0].astype(jnp.float32))
+    dh_new = m * (dout_ref[0] + dh_carry)
+    do_pre = dh_new * tanh_c * o_a * (1.0 - o_a)
+    dc_new = dh_new * o_a * (1.0 - tanh_c * tanh_c) + m * dc_carry
+    di_pre = dc_new * g_a * i_a * (1.0 - i_a)
+    dg_pre = dc_new * i_a * (1.0 - g_a * g_a)
+    df_pre = dc_new * cprev_ref[0].astype(jnp.float32) * f_a * (1.0 - f_a)
+
+    dgates = jnp.concatenate([di_pre, dg_pre, df_pre, do_pre], axis=-1)
+    dgates_ref[0] = dgates.astype(dgates_ref.dtype)
+
+    dh_prev = jax.lax.dot_general(
+        dgates.astype(wh_ref.dtype), wh_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_s[:] = (1.0 - m) * dh_carry + dh_prev
+    dc_s[:] = (1.0 - m) * dc_carry + dc_new * f_a
+
+    @pl.when(i == T - 1)
+    def _():
+        dh0_ref[:] = dh_s[:]
+        dc0_ref[:] = dc_s[:]
+
+
+def _lstm_recurrence_bwd_recompute(dout, x_rd, hprev_seq, c_seq, c_prev_seq,
+                                   mask, w_x, b, w_h, dhn, dcn):
+    """Returns (dgates (T, B, 4H) pre-activation in the residual dtype,
+    dh0, dc0)."""
+    T, B, four_h = dout.shape[0], dout.shape[1], w_h.shape[1]
+    H = four_h // 4
+    D = w_x.shape[0]
+    res_dtype = x_rd.dtype
+    rev = lambda t: (T - 1 - t, 0, 0)
+    return pl.pallas_call(
+        _recurrence_bwd_recompute_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, D), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, four_h), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, four_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, four_h), res_dtype),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * T * B * H * four_h,
+            bytes_accessed=T * B * H * (4 + 4 * res_dtype.itemsize)
+            + T * B * four_h * res_dtype.itemsize
+            + 2 * H * four_h * w_h.dtype.itemsize,
+            transcendentals=5 * T * B * H,
+        ),
+    )(dout, x_rd, hprev_seq, c_seq, c_prev_seq, mask, w_x, b, w_h, dhn, dcn)
+
+
 # ------------------------------------------------------------- custom VJP
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -382,6 +573,70 @@ def _lstm_core_bwd(cd, rd, residuals, cotangents):
 _lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _lstm_core_recompute(w_x, w_h, b, x, mask, c0, h0, cd, rd):
+    """Recompute-mode fused LSTM layer: same primal as ``_lstm_core``,
+    but the backward recomputes the gate activations from streamed
+    ``x``/``h_prev`` (residual dtype) with both weight matrices
+    VMEM-resident, storing only the cell sequence — the leanest residual
+    strategy (what fits B=128 x T=3510 whole-sequence in HBM)."""
+    return _lstm_core(w_x, w_h, b, x, mask, c0, h0, cd, rd)
+
+
+def _lstm_core_recompute_fwd(w_x, w_h, b, x, mask, c0, h0, cd, rd):
+    x_proj = (
+        jnp.dot(x.astype(cd), w_x.astype(cd), preferred_element_type=jnp.float32)
+        + b.astype(jnp.float32)
+    )
+    out, hn, cn, c_seq = _lstm_recurrence_train_lean(
+        x_proj, w_h.astype(cd), mask, h0.astype(jnp.float32),
+        c0.astype(jnp.float32), rd,
+    )
+    # Residuals narrow to the residual dtype; the f32 out/x stay alive
+    # only through the surrounding forward, not until the backward.  The
+    # zero-size token carries x's primal dtype so the backward can emit a
+    # matching cotangent (callers may feed bf16 inter-layer activations).
+    residuals = (w_x, w_h, b, x.astype(rd), mask, c0, h0, out.astype(rd),
+                 c_seq, jnp.zeros((0,), x.dtype))
+    return (out, cn, hn), residuals
+
+
+def _lstm_core_recompute_bwd(cd, rd, residuals, cotangents):
+    w_x, w_h, b, x_rd, mask, c0, h0, out_rd, c_seq, x_token = residuals
+    dout, dcn, dhn = cotangents
+    # dout may arrive bf16 (bf16 inter-layer activations); the kernel
+    # upcasts per block, so no f32 materialization of the stream here.
+    T, B, H = out_rd.shape
+
+    h_prev_seq = jnp.concatenate([h0.astype(rd)[None], out_rd[:-1]], axis=0)
+    c_prev_seq = jnp.concatenate([c0.astype(rd)[None], c_seq[:-1]], axis=0)
+    dgates, dh0, dc0 = _lstm_recurrence_bwd_recompute(
+        dout, x_rd, h_prev_seq, c_seq, c_prev_seq, mask,
+        w_x.astype(cd), b.astype(jnp.float32).reshape(1, -1),
+        w_h.astype(cd), dhn, dcn,
+    )
+
+    dg_c = dgates.astype(cd)
+    dw_h = jnp.einsum(
+        "tbh,tbg->hg", h_prev_seq.astype(cd), dg_c,
+        preferred_element_type=jnp.float32,
+    ).astype(w_h.dtype)
+    dw_x = jnp.einsum(
+        "tbd,tbg->dg", x_rd.astype(cd), dg_c,
+        preferred_element_type=jnp.float32,
+    ).astype(w_x.dtype)
+    db = jnp.sum(dgates, axis=(0, 1), dtype=jnp.float32)
+    dx = jnp.einsum(
+        "tbg,dg->tbd", dg_c, w_x.astype(cd),
+        preferred_element_type=jnp.float32,
+    ).astype(x_token.dtype)
+    return (dw_x, dw_h, db, dx, jnp.zeros_like(mask), dc0.astype(c0.dtype),
+            dh0.astype(h0.dtype))
+
+
+_lstm_core_recompute.defvjp(_lstm_core_recompute_fwd, _lstm_core_recompute_bwd)
+
+
 def lstm_layer_pallas(
     params,
     x: jnp.ndarray,             # (T, B, D)
@@ -389,12 +644,21 @@ def lstm_layer_pallas(
     state,                      # (c, h)
     compute_dtype=jnp.float32,
     residual_dtype=None,
+    residual_mode: str = "gates",
 ):
     """Drop-in replacement for lstm.lstm_layer_scan on TPU (differentiable).
 
     ``residual_dtype`` controls backward-residual storage; by default it
     follows the compute dtype (bf16 compute -> bf16 residuals), which is
-    what halves training's activation HBM footprint at long T."""
+    what halves training's activation HBM footprint at long T.
+
+    ``residual_mode``:
+      * ``"gates"`` — stream the activated gates forward (cuDNN strategy):
+        cheapest backward, ~5H residual bytes per step and layer.
+      * ``"recompute"`` — store only the cell sequence and recompute the
+        gates inside the backward kernel (two extra VMEM-resident matmuls
+        per step): ~3H residual bytes, the fit-B=128-whole-sequence mode.
+    """
     T, B, _ = x.shape
     if residual_dtype is None:
         residual_dtype = (
@@ -405,7 +669,8 @@ def lstm_layer_pallas(
         jnp.float32
     )[:, None, :]
     c0, h0 = state
-    out, cn, hn = _lstm_core(
+    core = _lstm_core if residual_mode == "gates" else _lstm_core_recompute
+    out, cn, hn = core(
         params["w_x"], params["w_h"], params["b"], x, mask, c0, h0,
         compute_dtype, jnp.dtype(residual_dtype),
     )

@@ -36,7 +36,6 @@ always run unmodified per device:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Tuple
 
 import jax

@@ -180,19 +180,22 @@ def train_acoustic(
             mesh.shape.get("data", 1) * mesh.shape.get("model", 1)
             if mesh is not None else 1
         )
-        chunk = acoustic.auto_time_chunk(
+        chunk, res_mode = acoustic.training_memory_plan(
             model_cfg, config.max_input_seq_length,
             max(1, batch_size // data_shards),
         )
-        if chunk:
+        if chunk or res_mode != "gates":
             logger.info(
-                "Auto time_chunk=%d (whole-sequence LSTM residuals would "
-                "exceed the HBM budget at B=%d, T=%d)",
-                chunk, batch_size // data_shards, config.max_input_seq_length,
+                "Training memory plan at B=%d, T=%d: time_chunk=%d, "
+                "residual_mode=%s",
+                batch_size // data_shards, config.max_input_seq_length,
+                chunk, res_mode,
             )
             import dataclasses
 
-            model_cfg = dataclasses.replace(model_cfg, time_chunk=chunk)
+            model_cfg = dataclasses.replace(
+                model_cfg, time_chunk=chunk, residual_mode=res_mode
+            )
     scfg = step_mod.StepConfig(
         model=model_cfg,
         grad_clip=config.grad_clip,

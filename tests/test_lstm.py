@@ -228,6 +228,53 @@ def test_pallas_bf16_residual_grads_close_to_f32(setup):
         assert np.abs(low - ref).max() / scale < 2e-2
 
 
+def test_pallas_recompute_mode_grads_match_scan(setup):
+    """residual_mode="recompute" (cell-sequence-only residuals, gates
+    rebuilt in the backward kernel): exact gradients at f32 residuals,
+    bf16-roundoff-close at bf16 — for weights, bias, inputs and state."""
+    layers, x, seq_lengths, (T, B, D, H) = setup
+    import functools
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rnn_speech_tpu.ops import lstm_pallas
+
+    # The recompute backward streams the layer input into a (B, D) @
+    # (D, 4H) matmul; use a square layer like the acoustic stack's.
+    layers = lstm.init_lstm_stack(jax.random.PRNGKey(3), 1, H, H)
+    x = jax.random.normal(jax.random.PRNGKey(4), (T, B, H))
+    state = (jnp.zeros((B, H)) + 0.3, jnp.zeros((B, H)) - 0.2)
+
+    def loss(fn):
+        def inner(params, xx, st):
+            ys, (c, h) = fn(params, xx, seq_lengths, st)
+            return jnp.sum(ys**2) + jnp.sum(c * h)
+        return inner
+
+    ref = jax.grad(loss(lstm.lstm_layer_scan), argnums=(0, 1, 2))(
+        layers[0], x, state
+    )
+    with pltpu.force_tpu_interpret_mode():
+        exact = jax.grad(
+            loss(functools.partial(
+                lstm_pallas.lstm_layer_pallas, residual_mode="recompute",
+                residual_dtype=jnp.float32,
+            )), argnums=(0, 1, 2),
+        )(layers[0], x, state)
+        low = jax.grad(
+            loss(functools.partial(
+                lstm_pallas.lstm_layer_pallas, residual_mode="recompute",
+                residual_dtype=jnp.bfloat16,
+            )), argnums=(0, 1, 2),
+        )(layers[0], x, state)
+    for r, e in zip(jax.tree.leaves(ref), jax.tree.leaves(exact)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(r),
+                                   atol=2e-4, rtol=1e-3)
+    for r, l in zip(jax.tree.leaves(ref), jax.tree.leaves(low)):
+        r, l = np.asarray(r), np.asarray(l)
+        assert np.abs(l - r).max() / (np.abs(r).max() + 1e-9) < 2e-2
+
+
 def test_pallas_grads_masked_rows_passthrough(setup):
     """Zero-length rows: state grads pass straight through the layer."""
     layers, x, _, (T, B, D, H) = setup

@@ -457,6 +457,37 @@ def test_auto_time_chunk_policy():
     assert acoustic.auto_time_chunk(stacked, 3510, 30) == 0
 
 
+def test_training_memory_plan_prefers_whole_sequence():
+    """Plan ladder: gates whole-seq -> recompute whole-seq -> chunked.
+    B=64 keeps the fast gates backward; B=128 switches residual strategy
+    instead of paying chunked remat's double forward."""
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.models import acoustic
+
+    cfg = acoustic.AcousticConfig(
+        num_layers=3, hidden_size=1024, input_dim=120, num_labels=80,
+        compute_dtype=jnp.bfloat16, use_pallas=True,
+    )
+    assert acoustic.training_memory_plan(cfg, 3510, 64) == (0, "gates")
+    # B=96 whole-sequence compiles only with recompute residuals
+    # (measured); B=128 fits NO whole-sequence strategy and must chunk.
+    assert acoustic.training_memory_plan(cfg, 3510, 96) == (0, "recompute")
+    chunk, mode = acoustic.training_memory_plan(cfg, 3510, 128)
+    assert chunk > 0 and mode == "gates"
+    # The recompute footprint really is a small fraction of gates mode.
+    assert acoustic.training_residual_bytes(cfg, 3510, 128, "recompute") < \
+        0.45 * acoustic.training_residual_bytes(cfg, 3510, 128, "gates")
+    # The scan path (no Pallas) has no recompute kernel: plan must not
+    # select it there.
+    scan_cfg = acoustic.AcousticConfig(
+        num_layers=3, hidden_size=1024, input_dim=120, num_labels=80,
+        compute_dtype=jnp.bfloat16, use_pallas=False,
+    )
+    _, mode = acoustic.training_memory_plan(scan_cfg, 3510, 128)
+    assert mode == "gates"
+
+
 def test_clip_zero_disables_clipping():
     import jax.numpy as jnp
 

@@ -55,6 +55,20 @@ def check_lstm() -> None:
     assert diff < 1e-3, f"LSTM fwd diff {diff:.3e}"
     print("LSTM pallas-vs-scan on hardware: OK")
 
+    # Recompute-residual backward (cell-sequence-only residuals, gates
+    # rebuilt in-kernel): same gradients within the platform noise floor.
+    import functools
+
+    rec = jax.jit(jax.grad(loss(functools.partial(
+        lstm_pallas.lstm_layer_pallas, residual_mode="recompute"
+    )), argnums=(0, 1, 2)))(layers[0], x, state)
+    for r, p in zip(jax.tree.leaves(ref), jax.tree.leaves(rec)):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-6
+        rel = float(jnp.max(jnp.abs(r - p))) / scale
+        assert rel < 2e-2, \
+            f"LSTM recompute grad rel diff {rel:.3e} (scale {scale:.2e})"
+    print("LSTM recompute-mode backward on hardware: OK")
+
 
 def check_ctc() -> None:
     from rnn_speech_tpu.ops import ctc, ctc_pallas

@@ -162,3 +162,37 @@ def test_lm_explicit_zero_not_inherited(tmp_path):
     )
     cfg = load_config(str(path))
     assert cfg.lm_resolved().grad_clip == 0.0   # not the acoustic 1.0
+
+
+def test_reference_english_preset_loads_published_protocol():
+    """The shipped preset must parse AND preserve the reference's exact
+    published training protocol: 3x1024 fbank, dropout 0.8/0.5, batch
+    10x3 run as SEQUENTIAL microbatches (fuse_microbatches off here so
+    reproductions carry the published recurrent-state/batch-norm
+    semantics; the TPU-tuned config.ini keeps fusion on), grad_clip 1,
+    lr 3e-4 with x0.33 plateau decay, max lens 3510/600."""
+    import os
+
+    from rnn_speech_tpu.config import load_config
+
+    preset = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "reference_english.ini",
+    )
+    config = load_config(preset)
+    assert (config.num_layers, config.hidden_size) == (3, 1024)
+    assert config.signal_processing == "fbank"
+    assert (config.dropout_input_keep_prob,
+            config.dropout_output_keep_prob) == (0.8, 0.5)
+    assert (config.batch_size, config.mini_batch_size) == (10, 3)
+    assert config.tpu.fuse_microbatches is False
+    assert (config.learning_rate, config.lr_decay_factor,
+            config.grad_clip) == (3e-4, 0.33, 1.0)
+    assert (config.max_input_seq_length,
+            config.max_target_seq_length) == (3510, 600)
+
+    repo_cfg = load_config(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "config.ini",
+    ))
+    assert repo_cfg.tpu.fuse_microbatches is True

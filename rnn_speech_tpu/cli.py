@@ -507,7 +507,8 @@ class StreamingTranscriber:
     microphone.
     """
 
-    def __init__(self, config, char_map, chunk_seconds: float = 1.0):
+    def __init__(self, config, char_map, chunk_seconds: float = 1.0,
+                 beam_width: int = 1, lm=None, lm_weight: float = 0.0):
         import functools
 
         import jax
@@ -515,6 +516,19 @@ class StreamingTranscriber:
 
         from rnn_speech_tpu.models import acoustic
         from rnn_speech_tpu.ops import decode as dec
+
+        def decode_logits(logits, lengths):
+            """Per-chunk decode: greedy by default, beam (+ optional LM
+            shallow fusion) when requested — each chunk's hypothesis is
+            finalized independently, like the reference's per-chunk
+            process_input decode."""
+            if beam_width > 1:
+                labels, lens_k, _ = dec.beam_search_decode(
+                    logits, lengths, beam_width=beam_width,
+                    lm=lm, lm_weight=lm_weight,
+                )
+                return labels[:, 0], lens_k[:, 0]
+            return dec.greedy_decode(logits, lengths)
 
         model_cfg, fe, pcfg, params = _build_forward(config, char_map, 1)
         self._params = params
@@ -550,7 +564,7 @@ class StreamingTranscriber:
                 logits, states = acoustic.forward(
                     params, model_cfg, feats_tm, n, states
                 )
-                labels, lengths = dec.greedy_decode(
+                labels, lengths = decode_logits(
                     logits, acoustic.output_lengths(model_cfg, n)
                 )
                 return labels, lengths, states
@@ -575,7 +589,7 @@ class StreamingTranscriber:
                     params, model_cfg, jnp.transpose(feats, (1, 0, 2)), nf,
                     states,
                 )
-                labels, lengths = dec.greedy_decode(
+                labels, lengths = decode_logits(
                     logits, acoustic.output_lengths(model_cfg, nf)
                 )
                 return labels, lengths, states
@@ -644,7 +658,12 @@ def record_and_write(config, prog, char_map) -> int:
         logger.fatal("--record requires pyaudio, which is not installed")
         return 1
 
-    transcriber = StreamingTranscriber(config, char_map)
+    transcriber = StreamingTranscriber(
+        config, char_map,
+        beam_width=prog["beam_width"],
+        lm=_load_lm_stepper(config, char_map, prog["lm_weight"]),
+        lm_weight=prog["lm_weight"],
+    )
     _CHUNK = transcriber.chunk_samples
     _SR = transcriber.sample_rate
     pa = pyaudio.PyAudio()

@@ -210,7 +210,70 @@ def test_transcriber_chunked_matches_whole_clip(tmp_path):
     )
 
 
-def test_restream_after_flush():
+def test_transcriber_beam_decode_matches_greedy_when_trained(tmp_path):
+    """--record with --beam_width: the streaming engine decodes through
+    the on-device beam search; on a confidently-memorized model beam and
+    greedy agree."""
+
+    # Reuse the trained checkpoint + config from the e2e test by
+    # rebuilding them quickly at smaller scale.
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.charmap import CharMap
+    from rnn_speech_tpu.cli import StreamingTranscriber
+    from rnn_speech_tpu.config import load_config
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.train import checkpoint as ckpt
+    from rnn_speech_tpu.train import step as step_mod
+
+    cm = CharMap()
+    sig = make_signal(0.9, seed=11)
+    feats, n = frontend.extract_fbank(sig, SR)
+    labels, label_len = cm.encode_padded("GOOD DAY", 20)
+    cfg = acoustic.AcousticConfig(
+        num_layers=1, hidden_size=48, input_dim=120, num_labels=len(cm)
+    )
+    batch = {
+        "features": jnp.asarray(feats)[None, None],
+        "frame_lengths": jnp.asarray([[n]], jnp.int32),
+        "labels": jnp.asarray(labels)[None, None],
+        "label_lengths": jnp.asarray([[label_len]], jnp.int32),
+    }
+    scfg = step_mod.StepConfig(model=cfg, input_keep_prob=1.0,
+                               output_keep_prob=1.0)
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg, 1, 3e-3)
+    fn = jax.jit(step_mod.train_step, static_argnums=0)
+    for i in range(200):
+        state, metrics = fn(scfg, state, batch, jax.random.PRNGKey(i),
+                            jnp.asarray(True))
+    ckpt.save(str(tmp_path / "ckpt" / "acoustic"), state["params"], 1, 3e-3)
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[acoustic_network_params]\nnum_layers : 1\nhidden_size : 48\n"
+        "dropout_input_keep_prob : 1.0\ndropout_output_keep_prob : 1.0\n"
+        "batch_size : 1\nmini_batch_size : 1\nlearning_rate : 0.003\n"
+        "lr_decay_factor : 0.33\ngrad_clip : 5\n"
+        "signal_processing : fbank\nlanguage : english\n"
+        "rnn_state_reset_ratio : 1.0\n"
+        "[general]\nuse_config_file_if_checkpoint_exists : True\n"
+        "steps_per_checkpoint : 2\nsteps_per_evaluation : 1000\n"
+        "checkpoint_dir : {}\n"
+        "[training]\ntraining_dataset_dirs :\n"
+        "max_input_seq_length : 300\nmax_target_seq_length : 40\n"
+        "batch_normalization : False\ndataset_size_ordering : False\n"
+        "[logging]\nlog_level : WARNING\n"
+        "[tpu]\ncompute_dtype : float32\nuse_pallas_lstm : False\n"
+        "prefetch_depth : 0\n".format(tmp_path / "ckpt")
+    )
+    config = load_config(str(ini))
+    outs = {}
+    for width in (1, 4):
+        tr = StreamingTranscriber(config, cm, chunk_seconds=0.5,
+                                  beam_width=width)
+        text = tr.feed(sig) + tr.finish()
+        outs[width] = text
+    assert outs[1] == outs[4] and outs[1].strip() != ""
     sf = streaming.StreamingFbank(SR)
     sig = make_signal(0.8, seed=5)
     sf.feed(sig)

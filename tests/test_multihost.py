@@ -49,16 +49,25 @@ from rnn_speech_tpu.train import loop
 
 config = load_config(config_path)
 char_map = SpeechRecognizer("english").get_char_map()
-corpus_dir = config.training_dataset_dirs
-train_set = []
-for name in sorted(os.listdir(corpus_dir)):
-    if name.endswith(".wav"):
-        label = open(os.path.join(corpus_dir, name + ".trn")).read().strip()
-        train_set.append([os.path.join(corpus_dir, name), label, 0.4])
+
+def read_set(corpus_dir):
+    out = []
+    for name in sorted(os.listdir(corpus_dir)):
+        if name.endswith(".wav"):
+            label = open(
+                os.path.join(corpus_dir, name + ".trn")
+            ).read().strip()
+            out.append([os.path.join(corpus_dir, name), label, 0.4])
+    return out
+
+train_set = read_set(config.training_dataset_dirs)
+# An ODD-sized test set: the per-host shards get different batch counts,
+# exercising the all-padding-batch eval synchronization.
+test_set = read_set(config.test_dataset_dirs)
 mesh = mesh_mod.make_mesh(0, 1)
 hooked = []
 state = loop.train_acoustic(
-    config, train_set, [], char_map, max_steps=2, mesh=mesh,
+    config, train_set, test_set, char_map, max_steps=2, mesh=mesh,
     step_hook=lambda step, m: hooked.append(
         [step, float(m["mean_loss"]), float(m["mean_error_rate"])]
     ),
@@ -94,11 +103,12 @@ rnn_state_reset_ratio : 0.0
 [general]
 use_config_file_if_checkpoint_exists : True
 steps_per_checkpoint : 2
-steps_per_evaluation : 1000
+steps_per_evaluation : 2
 checkpoint_dir : {root}/ckpt_{tag}
 
 [training]
 training_dataset_dirs : {root}/corpus
+test_dataset_dirs : {root}/test_corpus
 max_input_seq_length : 60
 max_target_seq_length : 20
 batch_normalization : False
@@ -131,6 +141,16 @@ def mh_root(tmp_path_factory):
     # One clip, copied: identical batch rows under any host sharding.
     for i in range(8):
         path = str(corpus / f"c{i}.wav")
+        audio_io.write_wav(path, sig, 22050)
+        with open(path + ".trn", "w") as fh:
+            fh.write("HELLO WORLD\n")
+    # Test corpus of NINE copies: strided host shards get 5 vs 4 clips,
+    # so one host runs an extra eval batch and the exhausted host must
+    # feed a synchronized all-padding batch.
+    test_corpus = root / "test_corpus"
+    test_corpus.mkdir()
+    for i in range(9):
+        path = str(test_corpus / f"t{i}.wav")
         audio_io.write_wav(path, sig, 22050)
         with open(path + ".trn", "w") as fh:
             fh.write("HELLO WORLD\n")
@@ -213,3 +233,21 @@ def test_two_process_training_matches_single(mh_root):
         assert abs(os.path.getsize(fs) - os.path.getsize(fm)) < \
             max(64, 0.2 * os.path.getsize(fs))
     assert os.path.isdir(str(root / "ckpt_multi" / "acoustic"))
+
+    # The in-loop evaluation ran over an odd-sized test set (5-vs-4 host
+    # shards -> the exhausted host fed a synchronized all-padding batch)
+    # and its pod-psum'd loss must match the single-process value.
+    def eval_scalars(files):
+        out = []
+        for path in files:
+            if "tfevents" in os.path.basename(path):
+                continue
+            for line in open(path):
+                rec = json.loads(line)
+                if rec.get("tag") == "test/mean_loss":
+                    out.append(rec["value"])
+        return out
+
+    ev_s, ev_m = eval_scalars(files_s), eval_scalars(files_m)
+    assert len(ev_s) == len(ev_m) == 1
+    np.testing.assert_allclose(ev_m, ev_s, rtol=1e-4)

@@ -301,29 +301,35 @@ def _polyphase_table(orig_sr: int, target_sr: int):
 
 def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Polyphase Kaiser-windowed sinc resampling, tap-for-tap identical to
-    the native loader's ``resample_sinc``."""
+    the native loader's ``resample_sinc``.
+
+    Outputs are produced in bounded chunks: the vectorized window gather
+    is O(chunk x filter_width), not O(n_out x filter_width) — a 35 s
+    48 kHz clip would otherwise stage >1 GB of float64 per worker."""
     if orig_sr == target_sr or len(x) == 0:
         return np.asarray(x, np.float32)
     up, down, half, taps = _polyphase_table(int(orig_sr), int(target_sr))
     n_in = len(x)
     n_out = -(-n_in * int(target_sr) // int(orig_sr))   # ceil
-    i = np.arange(n_out, dtype=np.int64)
-    num = i * down
-    n0 = num // up
-    phase = (num % up).astype(np.int64)
     width = 2 * half
-    start = n0 - half + 1
-    # Zero-padded gather of each output's input window; accumulate in f64
-    # with f32 taps/input, matching the C++ loop's arithmetic.
     pad = width
     xp = np.zeros(n_in + 2 * pad, np.float32)
     xp[pad : pad + n_in] = x
-    idx = start[:, None] + np.arange(width)[None, :] + pad
-    acc = np.einsum(
-        "ow,ow->o", taps[phase].astype(np.float64),
-        xp[idx].astype(np.float64),
-    )
-    return acc.astype(np.float32)
+    taps64 = taps.astype(np.float64)
+    out = np.empty(n_out, np.float32)
+    CHUNK = 1 << 16
+    offsets = np.arange(width)[None, :] + pad
+    for lo in range(0, n_out, CHUNK):
+        i = np.arange(lo, min(lo + CHUNK, n_out), dtype=np.int64)
+        num = i * down
+        start = num // up - half + 1
+        phase = (num % up).astype(np.int64)
+        idx = start[:, None] + offsets
+        # f64 accumulation of f32 taps/input matches the C++ loop.
+        out[lo : lo + len(i)] = np.einsum(
+            "ow,ow->o", taps64[phase], xp[idx].astype(np.float64)
+        )
+    return out
 
 
 def load(

@@ -307,9 +307,17 @@ def train_language(config, prog, char_map) -> int:
 
     from rnn_speech_tpu.train import lm_loop
 
+    # --max_epoch alone must govern the run length: forcing a default
+    # max_steps would cut an epoch-bounded session at steps_per_checkpoint.
+    if prog["max_steps"] is not None:
+        max_steps = prog["max_steps"]
+    elif prog["max_epoch"] is not None:
+        max_steps = None
+    else:
+        max_steps = config.steps_per_checkpoint
     params, step = lm_loop.train_language(
         config, texts, char_map,
-        max_steps=prog["max_steps"] or config.steps_per_checkpoint,
+        max_steps=max_steps,
         max_epoch=prog["max_epoch"],
         learn_rate_override=prog["learn_rate"],
         tb_name=prog["tb_name"],

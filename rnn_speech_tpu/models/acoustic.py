@@ -41,8 +41,9 @@ class AcousticConfig:
     # Backward-residual strategy of the fused recurrence: "gates" streams
     # activated gates (cheapest backward), "recompute" stores only the
     # cell sequence and rebuilds gates in the backward kernel (~40% of
-    # the residual bytes — what fits B=128 whole-sequence at T=3510).
-    # training_memory_plan() picks this automatically.
+    # the residual bytes — fits whole-sequence batches gates mode cannot,
+    # e.g. B=96 at T=3510).  training_memory_plan() picks this
+    # automatically.
     residual_mode: str = "gates"
     # Stack N adjacent frames and subsample time by N before the LSTM
     # (Sak et al., arXiv:1507.06947; arXiv:1705.05992): the recurrence —

@@ -320,7 +320,9 @@ def _recurrence_train_lean_kernel(mask_ref, xproj_ref, wh_ref, h0_ref,
     """Forward recurrence streaming only the carried cell sequence — the
     activated gates are recomputed inside the backward kernel instead of
     stored (the memory-lean residual strategy: ~H instead of ~5H bytes per
-    step and layer, what lets B=128 x T=3510 train whole-sequence)."""
+    step and layer, fitting whole-sequence batches the gates residuals
+    cannot — B=96 at T=3510 on a v5e, where B=128 exceeds HBM in every
+    mode; see models/acoustic.py:training_memory_plan)."""
     t = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -579,7 +581,8 @@ def _lstm_core_recompute(w_x, w_h, b, x, mask, c0, h0, cd, rd):
     but the backward recomputes the gate activations from streamed
     ``x``/``h_prev`` (residual dtype) with both weight matrices
     VMEM-resident, storing only the cell sequence — the leanest residual
-    strategy (what fits B=128 x T=3510 whole-sequence in HBM)."""
+    strategy (fits whole-sequence B=96 at T=3510 on a v5e, where the
+    gates residuals top out at B=64; B=128 exceeds HBM in every mode)."""
     return _lstm_core(w_x, w_h, b, x, mask, c0, h0, cd, rd)
 
 

@@ -58,7 +58,7 @@ class StreamingSavgol:
     became final (0, 1, or — when the head edge resolves — half+1 rows);
     ``flush()`` returns the remaining tail rows."""
 
-    def __init__(self, dim: int, width: int = frontend.DELTA_WIDTH):
+    def __init__(self, width: int = frontend.DELTA_WIDTH):
         self.width = width
         self.half = (width - 1) // 2
         # Interior output = correlation of the centered window with these
@@ -119,8 +119,8 @@ class StreamingFbank:
         self.weights = frontend.fbank_mel_matrix(sr)
         self.prev_raw: Optional[float] = None
         self.tail = np.zeros((0,), np.float64)   # emphasized, un-framed
-        self.d1 = StreamingSavgol(frontend.FBANK_NFILT)
-        self.d2 = StreamingSavgol(frontend.FBANK_NFILT)
+        self.d1 = StreamingSavgol()
+        self.d2 = StreamingSavgol()
         self.static: List[np.ndarray] = []       # un-normed, await deltas
         self.d1_rows: List[np.ndarray] = []
         self.d2_rows: List[np.ndarray] = []

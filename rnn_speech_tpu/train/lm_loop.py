@@ -163,8 +163,12 @@ def train_language(
         mean = float(np.mean(losses))
         return mean, float(np.exp(mean))
 
+    # Multi-process runs train the LM identically on every host (same
+    # corpus, same seeds); only process 0 writes checkpoints/metrics —
+    # the same single-writer rule as the acoustic loop.
+    is_primary = jax.process_index() == 0
     writer = None
-    if config.tensorboard_dir:
+    if config.tensorboard_dir and is_primary:
         writer = metrics_mod.MetricsWriter(
             config.tensorboard_dir, tb_name or "language"
         )
@@ -207,7 +211,8 @@ def train_language(
                 break
             mean_window = window_loss / window_n
             logger.info("LM step %d: window loss %.4f", step, mean_window)
-            ckpt.save(ckpt_dir, params, step, float(lr))
+            if is_primary:
+                ckpt.save(ckpt_dir, params, step, float(lr))
             if writer:
                 writer.add_scalar("lm/learning_rate", float(lr), step)
                 writer.add_scalar("lm/train_mean_loss", mean_window, step)
@@ -234,7 +239,8 @@ def train_language(
                 if float(lr) < MIN_LEARNING_RATE:
                     logger.info("LM learning rate is too low, exiting")
                     break
-                ckpt.save(ckpt_dir, params, step, float(lr))
+                if is_primary:
+                    ckpt.save(ckpt_dir, params, step, float(lr))
     finally:
         if writer:
             writer.close()

@@ -256,7 +256,11 @@ def train_acoustic(
 
     epoch = 0
     ordering = config.dataset_size_ordering
-    # Multi-host pods: each host feeds only its slice of the corpus.
+    # Multi-host pods: each host feeds only its slice of the corpus.  The
+    # eval gate must use the PRE-shard emptiness — identical on every
+    # host — because evaluate_dataset runs pod collectives: a host whose
+    # shard happened to be empty skipping the call would hang the pod.
+    have_test_set = bool(test_set)
     train_set = pipe_mod.shard_for_host(train_set)
     if test_set:
         test_set = pipe_mod.shard_for_host(test_set)
@@ -336,7 +340,10 @@ def train_acoustic(
         """Epoch number all processes agree on (min across hosts — a host
         finishes an epoch only when every host has).  Must be called at the
         same loop point on every process; epochs roll at host-local times,
-        so host-local ``epoch`` alone would desynchronize the exit."""
+        so host-local ``epoch`` alone would desynchronize the exit.  Only
+        called at checkpoint-window boundaries on pods — a per-step
+        cross-host allgather would serialize the pipelined dispatch — so
+        multi-host max_epoch exits at window granularity."""
         if n_proc <= 1:
             return epoch
         from jax.experimental import multihost_utils
@@ -348,7 +355,8 @@ def train_acoustic(
             window_err = 0.0
             for _ in range(config.steps_per_checkpoint):
                 batch, rolled = next_batch()
-                if max_epoch is not None and global_epoch() > max_epoch:
+                if max_epoch is not None and n_proc == 1 and \
+                        epoch > max_epoch:
                     break
                 if timeline and not tracing and total_steps == TRACE_FIRST:
                     jax.profiler.start_trace(config.tensorboard_dir)
@@ -390,7 +398,7 @@ def train_acoustic(
                                          _host_local(h), current_step)
 
             if (
-                test_set
+                have_test_set
                 and config.steps_per_evaluation
                 and current_step % config.steps_per_evaluation == 0
             ):

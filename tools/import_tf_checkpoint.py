@@ -90,13 +90,14 @@ def map_reference_variables(tf_vars: Dict[str, np.ndarray]) -> Dict[str, np.ndar
     cells = sorted(
         int(m.group(1))
         for k in tf_vars
-        if (m := re.search(r"cell_(\d+).*/kernel$", k))
+        if (m := re.search(r"cell_(\d+)\b.*/kernel$", k))
     )
     if not cells or cells != list(range(len(cells))):
         raise ValueError(f"LSTM cell kernels missing or non-contiguous: {cells}")
     for layer in cells:
-        kernel = find_one(rf"cell_{layer}.*/kernel$")
-        bias = find_one(rf"cell_{layer}.*/bias$")
+        # \b keeps cell_1 from also matching cell_10+ in deep stacks.
+        kernel = find_one(rf"cell_{layer}\b.*/kernel$")
+        bias = find_one(rf"cell_{layer}\b.*/bias$")
         if kernel.shape != (2 * hidden, 4 * hidden):
             raise ValueError(
                 f"cell_{layer} kernel shape {kernel.shape} != "

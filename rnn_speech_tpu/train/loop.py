@@ -47,6 +47,21 @@ def _host_local(x) -> np.ndarray:
     )
 
 
+def _gatherable_params(params, mesh):
+    """Params safe to hand to ``checkpoint.save`` (which np.asarray's every
+    leaf): under multi-process FSDP (mesh_model > 1 on a pod) the gate
+    weights are sharded across hosts and must be replicated first."""
+    leaves = jax.tree.leaves(params)
+    if all(getattr(leaf, "is_fully_addressable", True) for leaf in leaves):
+        return params
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    replicated = jax.tree.map(
+        lambda _: NamedSharding(mesh, PartitionSpec()), params
+    )
+    return jax.jit(lambda p: p, out_shardings=replicated)(params)
+
+
 def reset_coin(ratio: float, rng=None) -> bool:
     """randint(1, 1//ratio) == 1 — the reference's exact reset draw.
 
@@ -383,8 +398,8 @@ def train_acoustic(
 
             current_step = int(state["step"])
             if is_primary:
-                ckpt.save(ckpt_dir, state["params"], current_step,
-                          float(state["lr"]))
+                ckpt.save(ckpt_dir, _gatherable_params(state["params"], mesh),
+                          current_step, float(state["lr"]))
             if writer:
                 writer.add_scalar("learning_rate", float(state["lr"]), current_step)
                 writer.add_scalar("train/mean_error_rate", window_err, current_step)
@@ -423,8 +438,9 @@ def train_acoustic(
                     logger.info("Learning rate is too low, exiting")
                     break
                 if is_primary:
-                    ckpt.save(ckpt_dir, state["params"], current_step,
-                              float(state["lr"]))
+                    ckpt.save(ckpt_dir,
+                              _gatherable_params(state["params"], mesh),
+                              current_step, float(state["lr"]))
 
             if max_epoch is not None and global_epoch() > max_epoch:
                 logger.info("Max number of epochs reached, exiting training session")

@@ -92,6 +92,27 @@ def _raw_banks(sig):
     return 10.0 * np.log10(banks)
 
 
+def test_random_chunking_fuzz():
+    """Arbitrary (adversarial) chunk-size sequences — including 1-sample
+    dribbles and empty feeds — never perturb the carried DSP state."""
+    sig = make_signal(1.3, seed=7)
+    whole, n = frontend.extract_fbank(sig, SR)
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        sf = streaming.StreamingFbank(SR)
+        parts, i = [], 0
+        while i < len(sig):
+            step = int(rng.choice([1, 7, 100, 221, 550, 551, 4096]))
+            parts.append(sf.feed(sig[i : i + step]))
+            if rng.random() < 0.1:
+                parts.append(sf.feed(sig[i:i]))     # empty feed
+            i += step
+        parts.append(sf.flush())
+        out = np.concatenate([p for p in parts if p.size], axis=0)
+        assert out.shape == whole.shape, seed
+        np.testing.assert_allclose(out[:, 40:], whole[:, 40:], atol=2e-4)
+
+
 def test_exact_division_corner():
     """L - frame_length an exact multiple of the step: the whole-clip
     ceil formula emits one frame fewer than the complete-frame count;

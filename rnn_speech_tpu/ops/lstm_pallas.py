@@ -660,7 +660,9 @@ def lstm_layer_pallas(
         cheapest backward, ~5H residual bytes per step and layer.
       * ``"recompute"`` — store only the cell sequence and recompute the
         gates inside the backward kernel (two extra VMEM-resident matmuls
-        per step): ~3H residual bytes, the fit-B=128-whole-sequence mode.
+        per step): ~3H residual bytes — fits whole-sequence batches gates
+        mode cannot (B=96 at T=3510 on a v5e; B=128 exceeds HBM in every
+        mode).
     """
     T, B, _ = x.shape
     if residual_dtype is None:
@@ -672,6 +674,11 @@ def lstm_layer_pallas(
         jnp.float32
     )[:, None, :]
     c0, h0 = state
+    if residual_mode not in ("gates", "recompute"):
+        raise ValueError(
+            f"residual_mode must be 'gates' or 'recompute', got "
+            f"{residual_mode!r}"
+        )
     core = _lstm_core if residual_mode == "gates" else _lstm_core_recompute
     out, cn, hn = core(
         params["w_x"], params["w_h"], params["b"], x, mask, c0, h0,

@@ -216,9 +216,11 @@ def _make_shard_map_fns(mesh: Mesh, state: step_mod.TrainState):
                 state["params"] = _gather_params(
                     state["params"], param_specs
                 )
-            m = step_mod.eval_step(scfg, state, batch,
-                                   axis_name=batch_axes)
-            return {k: jax.lax.pmean(v, batch_axes) for k, v in m.items()}
+            # eval_step already psums sums and counts over batch_axes
+            # before dividing, so its outputs are replicated-exact —
+            # no further collective needed.
+            return step_mod.eval_step(scfg, state, batch,
+                                      axis_name=batch_axes)
 
         return shard_map(
             body, mesh=mesh,

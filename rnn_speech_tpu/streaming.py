@@ -133,18 +133,21 @@ class StreamingFbank:
     def feature_size(self) -> int:
         return frontend.FBANK_DIM
 
-    def _bank_row(self, frame: np.ndarray) -> np.ndarray:
-        """One emphasized frame -> un-normalized log-mel row (the exact
-        per-frame math of frontend.extract_fbank:135-143)."""
-        mag = np.abs(np.fft.rfft(frame * self.window, frontend.FBANK_NFFT))
+    def _bank_rows(self, frames: np.ndarray) -> np.ndarray:
+        """(n, frame_length) emphasized frames -> (n, nfilt) un-normalized
+        log-mel rows, one vectorized pass (the exact math of
+        frontend.extract_fbank:135-143)."""
+        mag = np.abs(np.fft.rfft(frames * self.window, frontend.FBANK_NFFT,
+                                 axis=-1))
         power = (mag ** 2) / frontend.FBANK_NFFT
         banks = power @ self.weights.T
         banks = np.where(banks == 0.0, np.finfo(float).eps, banks)
         return 10.0 * np.log10(banks)
 
     def _advance(self, frames: np.ndarray) -> None:
-        for frame in frames:
-            row = self._bank_row(frame)
+        # FFT/mel vectorized over the batch of frames; only the savgol
+        # state threading is inherently sequential.
+        for row in self._bank_rows(frames):
             self.mean_sum += row
             self.mean_count += 1
             self.static.append(row)

@@ -397,9 +397,12 @@ def train_acoustic(
             drain_pending()       # window tail, before the stats are used
 
             current_step = int(state["step"])
+            # The replication gather is a COLLECTIVE: every process must
+            # launch it, even though only process 0 writes the file.
+            params_for_save = _gatherable_params(state["params"], mesh)
             if is_primary:
-                ckpt.save(ckpt_dir, _gatherable_params(state["params"], mesh),
-                          current_step, float(state["lr"]))
+                ckpt.save(ckpt_dir, params_for_save, current_step,
+                          float(state["lr"]))
             if writer:
                 writer.add_scalar("learning_rate", float(state["lr"]), current_step)
                 writer.add_scalar("train/mean_error_rate", window_err, current_step)
@@ -437,10 +440,10 @@ def train_acoustic(
                 if float(state["lr"]) < MIN_LEARNING_RATE:
                     logger.info("Learning rate is too low, exiting")
                     break
+                params_for_save = _gatherable_params(state["params"], mesh)
                 if is_primary:
-                    ckpt.save(ckpt_dir,
-                              _gatherable_params(state["params"], mesh),
-                              current_step, float(state["lr"]))
+                    ckpt.save(ckpt_dir, params_for_save, current_step,
+                              float(state["lr"]))
 
             if max_epoch is not None and global_epoch() > max_epoch:
                 logger.info("Max number of epochs reached, exiting training session")

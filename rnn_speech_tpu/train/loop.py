@@ -378,14 +378,25 @@ def train_acoustic(
                     tracing = True
                 rng, sub = jax.random.split(rng)
                 t_disp = time.time()
-                state, metrics = train_fn(
-                    scfg, state, put_batch(batch), sub,
-                    jnp.asarray(
-                        reset_coin(config.rnn_state_reset_ratio, coin_rng)
-                    ),
-                )
+                # StepTraceAnnotation gives the profiler per-step
+                # boundaries (XProf's step view), the granularity of the
+                # reference's per-step chrome traces
+                # (AcousticModel._write_timeline); TraceAnnotation marks
+                # the host phases inside each step.
+                with jax.profiler.StepTraceAnnotation(
+                    "train", step_num=total_steps
+                ):
+                    with jax.profiler.TraceAnnotation("host/put_batch"):
+                        device_batch = put_batch(batch)
+                    state, metrics = train_fn(
+                        scfg, state, device_batch, sub,
+                        jnp.asarray(
+                            reset_coin(config.rnn_state_reset_ratio, coin_rng)
+                        ),
+                    )
                 total_steps += 1
-                drain_pending()   # previous step, while this one runs
+                with jax.profiler.TraceAnnotation("host/metrics_drain"):
+                    drain_pending()   # previous step, while this one runs
                 pending = (total_steps, metrics, t_disp)
                 if tracing and total_steps >= TRACE_LAST:
                     jax.block_until_ready(metrics)

@@ -35,6 +35,7 @@ mode = sys.argv[2]            # "single" | "0" | "1"
 port = sys.argv[3]
 out_path = sys.argv[4]
 config_path = sys.argv[5]
+mesh_model = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 if mode != "single":
     jax.distributed.initialize(
         coordinator_address="localhost:" + port,
@@ -64,7 +65,7 @@ train_set = read_set(config.training_dataset_dirs)
 # An ODD-sized test set: the per-host shards get different batch counts,
 # exercising the all-padding-batch eval synchronization.
 test_set = read_set(config.test_dataset_dirs)
-mesh = mesh_mod.make_mesh(0, 1)
+mesh = mesh_mod.make_mesh(0, mesh_model)
 hooked = []
 state = loop.train_acoustic(
     config, train_set, test_set, char_map, max_steps=2, mesh=mesh,
@@ -73,8 +74,11 @@ state = loop.train_acoustic(
     ),
 )
 import numpy as np
+# Model-sharded leaves on a pod aren't host-addressable; replicate first
+# (a collective — both processes reach this line).
+gathered = loop._gatherable_params(state["params"], mesh)
 params_sum = float(
-    sum(abs(np.asarray(p)).sum() for p in jax.tree.leaves(state["params"]))
+    sum(abs(np.asarray(p)).sum() for p in jax.tree.leaves(gathered))
 )
 with open(out_path, "w") as fh:
     json.dump({
@@ -165,12 +169,13 @@ def _free_port() -> int:
         return sock.getsockname()[1]
 
 
-def _run(child, devices, mode, port, out, config, timeout=420):
+def _run(child, devices, mode, port, out, config, mesh_model=1):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.Popen(
-        [sys.executable, child, str(devices), mode, str(port), out, config],
+        [sys.executable, child, str(devices), mode, str(port), out, config,
+         str(mesh_model)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
     )
 
@@ -251,3 +256,34 @@ def test_two_process_training_matches_single(mh_root):
     ev_s, ev_m = eval_scalars(files_s), eval_scalars(files_m)
     assert len(ev_s) == len(ev_m) == 1
     np.testing.assert_allclose(ev_m, ev_s, rtol=1e-4)
+
+
+def test_two_process_fsdp_training_completes(mh_root):
+    """2 processes x 4 devices with mesh_model=8 — a (1, 8) mesh, so every
+    gate-weight shard lives on exactly ONE device and neither process can
+    address the other's shards.  This forces the FSDP weight all-gathers
+    inside the step AND the checkpoint path's params-replication gather —
+    a cross-host collective that once deadlocked when only process 0
+    launched it.  Both processes must complete and agree on the
+    trajectory."""
+    root, child = mh_root
+    (root / "tb_fsdp").mkdir(exist_ok=True)
+    cfg = root / "fsdp.ini"
+    cfg.write_text(CONFIG.format(root=root, tag="fsdp"))
+
+    port = _free_port()
+    out0, out1 = str(root / "fsdp0.json"), str(root / "fsdp1.json")
+    p0 = _run(child, 4, "0", port, out0, str(cfg), mesh_model=8)
+    p1 = _run(child, 4, "1", port, out1, str(cfg), mesh_model=8)
+    _, err0 = p0.communicate(timeout=420)
+    _, err1 = p1.communicate(timeout=420)
+    assert p0.returncode == 0, err0.decode(errors="replace")[-2000:]
+    assert p1.returncode == 0, err1.decode(errors="replace")[-2000:]
+
+    mh0, mh1 = json.load(open(out0)), json.load(open(out1))
+    np.testing.assert_allclose(mh0["steps"], mh1["steps"], rtol=1e-5)
+    np.testing.assert_allclose(mh0["params_sum"], mh1["params_sum"],
+                               rtol=1e-5)
+    # The checkpoint was written (by process 0) from gathered params.
+    ckpts = os.listdir(str(root / "ckpt_fsdp" / "acoustic"))
+    assert any(name.endswith(".npz") for name in ckpts)

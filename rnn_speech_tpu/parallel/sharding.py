@@ -255,7 +255,17 @@ def make_sharded_step(
     else:
         state = jax.device_put(state, s_shard)
 
+    batch_shards = mesh.shape.get("data", 1) * mesh.shape.get("model", 1)
+
     def put_batch(batch):
+        width = next(iter(batch.values())).shape[1]
+        if width % batch_shards:
+            raise ValueError(
+                f"Batch width {width} must divide evenly across the "
+                f"{batch_shards} batch shards of mesh {dict(mesh.shape)} "
+                f"(rows shard over data x model); adjust batch_size / "
+                f"mini_batch_size or the mesh axes"
+            )
         shardings = batch_shardings(mesh, batch)
         if multiprocess:
             # Each host holds its 1/process_count slice of the batch rows;

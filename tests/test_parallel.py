@@ -141,3 +141,22 @@ def test_batch_shardings_cover_all_keys():
     batch = make_batch(rng, 2, 8, 12, 8, 5)
     sh = shard_mod.batch_shardings(mesh, batch)
     assert set(sh) == set(batch)
+
+
+def test_put_batch_rejects_indivisible_width():
+    """A batch that can't shard evenly over data x model fails with an
+    actionable message, not an opaque shard_map error."""
+    cfg = step_mod.StepConfig(
+        model=acoustic.AcousticConfig(
+            num_layers=1, hidden_size=16, input_dim=8, num_labels=6
+        ),
+        input_keep_prob=1.0, output_keep_prob=1.0,
+    )
+    state0 = step_mod.init_train_state(jax.random.PRNGKey(0), cfg.model, 8,
+                                       0.01)
+    mesh = mesh_mod.make_mesh(4, 2)
+    _, put_batch, _, _ = shard_mod.make_sharded_step(mesh, cfg, state0)
+    rng = np.random.default_rng(0)
+    bad = make_batch(rng, MB=1, B=6, T=12, D=8, L=5)   # 6 rows, 8 shards
+    with pytest.raises(ValueError, match="batch shards"):
+        put_batch(bad)

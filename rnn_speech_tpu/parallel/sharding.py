@@ -258,13 +258,15 @@ def make_sharded_step(
     batch_shards = mesh.shape.get("data", 1) * mesh.shape.get("model", 1)
 
     def put_batch(batch):
-        width = next(iter(batch.values())).shape[1]
+        # Each process feeds its local slice; the GLOBAL width (local x
+        # process_count) is what must divide the batch shards.
+        width = next(iter(batch.values())).shape[1] * jax.process_count()
         if width % batch_shards:
             raise ValueError(
-                f"Batch width {width} must divide evenly across the "
-                f"{batch_shards} batch shards of mesh {dict(mesh.shape)} "
-                f"(rows shard over data x model); adjust batch_size / "
-                f"mini_batch_size or the mesh axes"
+                f"Global batch width {width} must divide evenly across "
+                f"the {batch_shards} batch shards of mesh "
+                f"{dict(mesh.shape)} (rows shard over data x model); "
+                f"adjust batch_size / mini_batch_size or the mesh axes"
             )
         shardings = batch_shardings(mesh, batch)
         if multiprocess:

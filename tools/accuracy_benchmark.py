@@ -50,6 +50,9 @@ def build_corpus(workdir: str, clips: int, seed: int):
     return dataset[n_test:], dataset[:n_test]
 
 
+_EVAL_CACHE: dict = {}
+
+
 def evaluate_wer(config, char_map, test_set):
     """Greedy-decode WER/CER over the test set (the reference's
     per-utterance normalized formulas, AcousticModel.py:762-777)."""
@@ -76,12 +79,20 @@ def evaluate_wer(config, char_map, test_set):
 
     T = config.max_input_seq_length
 
-    @jax.jit
-    def forward(params, feats, n):
-        logits, _ = acoustic.forward(
-            params, cfg, feats, n, acoustic.zero_state(cfg, 1)
-        )
-        return dec.greedy_decode(logits, n)
+    # One compiled program per model/shape combo across ALL eval rounds —
+    # a fresh closure per call would recompile every round (~25 s each
+    # over a tunneled TPU).
+    key = (cfg, T)
+    forward = _EVAL_CACHE.get(key)
+    if forward is None:
+        @jax.jit
+        def forward(params, feats, n):
+            logits, _ = acoustic.forward(
+                params, cfg, feats, n, acoustic.zero_state(cfg, 1)
+            )
+            return dec.greedy_decode(logits, n)
+
+        _EVAL_CACHE[key] = forward
 
     wers, cers = [], []
     for path, truth, _ in test_set:

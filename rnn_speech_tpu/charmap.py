@@ -155,10 +155,15 @@ class CharMap:
             ids.append(self.eos_id)
         return ids
 
-    def decode(self, ids: Sequence[int]) -> str:
+    def decode(self, ids: Sequence[int], continuation: bool = False) -> str:
         """Inverse mapping: re-insert spaces before capitals, lowercase all.
 
         Out-of-range ids are dropped; a single EOS occurrence is removed.
+        ``continuation=True`` treats the ids as the continuation of earlier
+        output: a LEADING capital (word start) then also gets its space, so
+        streaming decoders can emit piecewise —
+        ``decode(a) + decode(b, continuation=bool(a))`` equals
+        ``decode(a + b)`` for any split point.
         """
         toks = [self.tokens[i] for i in ids if 0 <= int(i) < len(self.tokens)]
         eos = self.tokens[-1]
@@ -166,7 +171,7 @@ class CharMap:
             toks.remove(eos)
         out: List[str] = []
         for pos, tok in enumerate(toks):
-            if pos != 0 and tok[:1].isupper():
+            if (pos != 0 or continuation) and tok[:1].isupper():
                 out.append(" ")
             out.append(tok.lower())
         return "".join(out)

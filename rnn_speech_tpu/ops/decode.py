@@ -88,6 +88,40 @@ def greedy_decode(
     return _left_compact(best, keep, U)
 
 
+def greedy_stream_decode(
+    logits: jnp.ndarray,        # (T, B, V)
+    logit_lengths: jnp.ndarray, # (B,)
+    prev: jnp.ndarray,          # (B,) carry: last valid frame's raw argmax
+    blank_id: int = -1,
+    max_output: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Chunk-carried greedy decode: ``greedy_decode`` whose repeat-collapse
+    sees the previous chunk's final frame, so a character spanning a chunk
+    boundary is not emitted twice.  Feeding chunks through this with the
+    returned ``prev`` carry and concatenating the outputs reproduces the
+    whole-clip ``greedy_decode`` text exactly.
+
+    ``prev`` starts at -1 (matches ``greedy_decode``'s t=0 sentinel).
+    Returns (labels (B, U), lengths (B,), new_prev (B,)).
+    """
+    T, B, V = logits.shape
+    if blank_id < 0:
+        blank_id = V + blank_id
+    U = max_output or T
+
+    best = jnp.argmax(logits, axis=-1).astype(jnp.int32)     # (T, B)
+    prev_shift = jnp.concatenate([prev[None, :], best[:-1]], axis=0)
+    valid = jnp.arange(T)[:, None] < logit_lengths[None, :]
+    keep = valid & (best != blank_id) & (best != prev_shift)
+    out, lengths = _left_compact(best, keep, U)
+    # Carry out the argmax at the last VALID frame (one-hot select, no
+    # gather); empty chunks pass the old carry through.
+    last_oh = jnp.arange(T)[:, None] == (logit_lengths - 1)[None, :]
+    last_best = jnp.sum(jnp.where(last_oh, best, 0), axis=0).astype(jnp.int32)
+    new_prev = jnp.where(logit_lengths > 0, last_best, prev)
+    return out, lengths, new_prev
+
+
 class BeamState(NamedTuple):
     hash: jnp.ndarray      # (B, K) int32 prefix identity (primary)
     hash2: jnp.ndarray     # (B, K) int32 prefix identity (secondary)
@@ -106,35 +140,11 @@ def _select_rows(field: jnp.ndarray, sel: jnp.ndarray):
     return jnp.sum(jnp.where(sel, field[:, None, :], 0), axis=-1)
 
 
-def beam_search_decode(
-    logits: jnp.ndarray,        # (T, B, V)
-    logit_lengths: jnp.ndarray, # (B,)
-    beam_width: int = 16,
-    blank_id: int = -1,
-    max_output: int = 0,
-    lm=None,                    # optional (init, advance) from language.stepper
-    lm_weight: float = 0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Prefix beam search. Returns (labels (B, K, U), lengths (B, K),
-    scores (B, K)) sorted best-first; labels padded with -1.
+def _beam_init(B: int, K: int, V: int, blank_id: int, lm=None):
+    """Fresh (BeamState, lm carry) for a B-row, K-beam search.
 
-    With ``lm`` set (see rnn_speech_tpu.models.language.stepper) and
-    ``lm_weight`` > 0, candidates are ranked by shallow fusion:
-    AM log-prob + lm_weight * LM log-prob of the emitted characters.  The
-    LM state advances once per appended character per beam, with the same
-    gather-free selection discipline as the rest of the step.  This is the
-    AM+LM "general SpeechRecognizer" combination the reference planned but
-    never built (/root/reference/README.md roadmap item 3,
-    /root/reference/models/SpeechRecognizer.py:4-8).
-    """
-    T, B, V = logits.shape
-    K = beam_width
-    if blank_id < 0:
-        blank_id = V + blank_id
-    U = max_output or T
-    use_lm = lm is not None and lm_weight != 0.0
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-
+    The lm carry is ``(cumulative logP (B,K), next-char logp (B,K,V),
+    lm state with leaves reshaped (B,K,-1))`` or None without an LM."""
     init = BeamState(
         hash=jnp.zeros((B, K), jnp.int32),
         hash2=jnp.zeros((B, K), jnp.int32),
@@ -146,24 +156,43 @@ def beam_search_decode(
         * jnp.ones((B, 1)),
         p_nb=jnp.full((B, K), NEG_INF),
     )
+    if lm is None:
+        return init, None
+    lm_init, _ = lm
+    lm_state0, lm_logp0 = lm_init(B * K)
+    lm0 = (
+        jnp.zeros((B, K), jnp.float32),                    # cumulative logP
+        lm_logp0.reshape(B, K, -1)[:, :, :V],
+        jax.tree.map(lambda leaf: leaf.reshape(B, K, -1), lm_state0),
+    )
+    return init, lm0
 
+
+def _beam_scan(
+    log_probs: jnp.ndarray,     # (T, B, V) log-softmaxed
+    logit_lengths: jnp.ndarray, # (B,)
+    init: BeamState,
+    lm0,
+    blank_id: int,
+    lm=None,
+    lm_weight: float = 0.0,
+):
+    """Run the prefix-beam step over ``log_probs`` from carried state.
+
+    Returns ``((final, lm_final), (parents (T,B,K), emitted (T,B,K)))`` —
+    the trellis records needed to backtrack prefixes.  Shared by the
+    whole-clip decoder and the chunk-carried streaming decoder; splitting a
+    clip at any frame boundary and chaining the carries is exact."""
+    T, B, V = log_probs.shape
+    K = init.last.shape[1]
+    use_lm = lm is not None and lm_weight != 0.0
+    lm_advance = lm[1] if use_lm else None
     chars = jnp.arange(V, dtype=jnp.int32)
     mult1 = np.int32(_HASH_MULT)
     mult2 = np.int32(_HASH_MULT2)
     C = K * (V + 1)
     arange_c = jnp.arange(C, dtype=jnp.int32)
     arange_k = jnp.arange(K, dtype=jnp.int32)
-
-    if use_lm:
-        lm_init, lm_advance = lm
-        lm_state0, lm_logp0 = lm_init(B * K)
-        lm0 = (
-            jnp.zeros((B, K), jnp.float32),                    # cumulative logP
-            lm_logp0.reshape(B, K, -1)[:, :, :V],
-            lm_state0,
-        )
-    else:
-        lm0 = None
 
     def _sel_k(field, sel_p):
         """Per-beam selection by parent for (B, K, ...) fields.
@@ -326,11 +355,66 @@ def beam_search_decode(
             )
         return (merged, lm_out), (parent, char)
 
-    if use_lm:
-        lm0 = (lm0[0], lm0[1],
-               jax.tree.map(lambda leaf: leaf.reshape(B, K, -1), lm0[2]))
-    (final, lm_final), (parents, emitted) = jax.lax.scan(
-        step, (init, lm0), (log_probs, jnp.arange(T))
+    return jax.lax.scan(step, (init, lm0), (log_probs, jnp.arange(T)))
+
+
+def _backtrack(parents, emitted, order):
+    """Trace beam lineages back through a (T, B, K) trellis.
+
+    ``order`` (B, K) picks which final beams to follow.  Returns
+    ``(ancestors (B, K), chars_fwd (T, B, K))``: the start-of-trellis beam
+    index each followed beam descends from, and its emitted chars (-1 for
+    stay steps) in forward time order."""
+    K = order.shape[1]
+    arange_k = jnp.arange(K, dtype=jnp.int32)
+
+    def back(carry, inp):
+        beam_idx = carry                                 # (B, K)
+        parent_t, char_t = inp
+        sel = beam_idx[:, :, None] == arange_k[None, None, :]
+        ch = _select_rows(char_t, sel)
+        nxt = _select_rows(parent_t, sel)
+        return nxt, ch
+
+    ancestors, chars_rev = jax.lax.scan(
+        back, order, (parents, emitted), reverse=True
+    )                                                    # (T, B, K) fwd order
+    return ancestors, chars_rev
+
+
+def beam_search_decode(
+    logits: jnp.ndarray,        # (T, B, V)
+    logit_lengths: jnp.ndarray, # (B,)
+    beam_width: int = 16,
+    blank_id: int = -1,
+    max_output: int = 0,
+    lm=None,                    # optional (init, advance) from language.stepper
+    lm_weight: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Prefix beam search. Returns (labels (B, K, U), lengths (B, K),
+    scores (B, K)) sorted best-first; labels padded with -1.
+
+    With ``lm`` set (see rnn_speech_tpu.models.language.stepper) and
+    ``lm_weight`` > 0, candidates are ranked by shallow fusion:
+    AM log-prob + lm_weight * LM log-prob of the emitted characters.  The
+    LM state advances once per appended character per beam, with the same
+    gather-free selection discipline as the rest of the step.  This is the
+    AM+LM "general SpeechRecognizer" combination the reference planned but
+    never built (/root/reference/README.md roadmap item 3,
+    /root/reference/models/SpeechRecognizer.py:4-8).
+    """
+    T, B, V = logits.shape
+    K = beam_width
+    if blank_id < 0:
+        blank_id = V + blank_id
+    U = max_output or T
+    use_lm = lm is not None and lm_weight != 0.0
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    arange_k = jnp.arange(K, dtype=jnp.int32)
+
+    init, lm0 = _beam_init(B, K, V, blank_id, lm if use_lm else None)
+    (final, lm_final), (parents, emitted) = _beam_scan(
+        log_probs, logit_lengths, init, lm0, blank_id, lm, lm_weight
     )
 
     # --- backtrack ------------------------------------------------------
@@ -341,20 +425,154 @@ def beam_search_decode(
     order_oh = order[:, :, None] == arange_k[None, None, :]
     scores = _select_rows(scores, order_oh)
 
-    def back(carry, inp):
-        beam_idx = carry                                 # (B, K)
-        parent_t, char_t = inp
-        sel = beam_idx[:, :, None] == arange_k[None, None, :]
-        ch = _select_rows(char_t, sel)
-        nxt = _select_rows(parent_t, sel)
-        return nxt, ch
-
-    _, chars_rev = jax.lax.scan(
-        back, order, (parents, emitted), reverse=True
-    )                                                    # (T, B, K) in forward order
-    chars_fwd = chars_rev                                # scan(reverse) re-emits forward
+    _, chars_fwd = _backtrack(parents, emitted, order)
 
     # Left-compact emitted (!= -1) chars into (B, K, U).
     keep = chars_fwd >= 0                                # (T, B, K)
     out, lengths = _left_compact(chars_fwd, keep, U)
     return out, lengths, scores
+
+
+class BeamStream(NamedTuple):
+    """Carried state for chunk-at-a-time beam decoding (the ``--record``
+    decode path).  ``prefix``/``prefix_len`` hold each live beam's
+    NOT-yet-committed label suffix: committed symbols — those shared by
+    every live beam, which no future evidence can revise — are returned by
+    ``beam_stream_decode`` and trimmed off the buffer, so the buffer only
+    needs to cover beam disagreement, not the whole utterance.
+
+    The reference's ``--record`` carried only the RNN state and re-ran an
+    independent decode per chunk (/root/reference/stt.py:348-357); carrying
+    the beam (and LM-fusion) state too makes chunked decoding exactly equal
+    to whole-clip decoding."""
+
+    beam: BeamState
+    lm: object               # (cum, logp, state) from _beam_init, or None
+    prefix: jnp.ndarray      # (B, K, U) int32, -1 padded
+    prefix_len: jnp.ndarray  # (B, K) int32
+
+
+def beam_stream_init(
+    n_batch: int,
+    num_labels: int,
+    beam_width: int = 16,
+    max_suffix: int = 64,
+    blank_id: int = -1,
+    lm=None,
+) -> BeamStream:
+    """Fresh streaming-beam state.  ``max_suffix`` bounds the uncommitted
+    label buffer (committed symbols are trimmed each chunk, so it only
+    needs to hold the divergence between beams plus one chunk's output)."""
+    if blank_id < 0:
+        blank_id = num_labels + blank_id
+    beam, lm0 = _beam_init(n_batch, beam_width, num_labels, blank_id, lm)
+    return BeamStream(
+        beam=beam,
+        lm=lm0,
+        prefix=jnp.full((n_batch, beam_width, max_suffix), -1, jnp.int32),
+        prefix_len=jnp.zeros((n_batch, beam_width), jnp.int32),
+    )
+
+
+def beam_stream_decode(
+    stream: BeamStream,
+    logits: jnp.ndarray,        # (T, B, V) this chunk's frames
+    logit_lengths: jnp.ndarray, # (B,) valid frames this chunk
+    blank_id: int = -1,
+    lm=None,
+    lm_weight: float = 0.0,
+) -> Tuple[BeamStream, jnp.ndarray, jnp.ndarray]:
+    """Advance the beam search by one chunk of frames.
+
+    Returns ``(stream', committed (B, U), committed_len (B,))`` where
+    ``committed`` are the newly-finalized symbols: the longest common
+    prefix of every live beam, which the search can no longer revise
+    (every future beam descends from a current live beam).  Feeding a clip
+    chunk-by-chunk and concatenating the committed symbols plus the final
+    ``beam_stream_flush`` tail reproduces whole-clip
+    ``beam_search_decode``'s top-1 text exactly, at every chunk size.
+    """
+    T, B, V = logits.shape
+    K = stream.beam.last.shape[1]
+    U = stream.prefix.shape[2]
+    if blank_id < 0:
+        blank_id = V + blank_id
+    use_lm = lm is not None and lm_weight != 0.0
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    arange_k = jnp.arange(K, dtype=jnp.int32)
+    arange_u = jnp.arange(U, dtype=jnp.int32)
+
+    (final, lm_final), (parents, emitted) = _beam_scan(
+        log_probs, logit_lengths, stream.beam, stream.lm, blank_id,
+        lm, lm_weight,
+    )
+
+    # Per-step top-k already orders beams by the fused score, so beam 0 of
+    # the carried state is the current best hypothesis — no re-sort.
+    order = jnp.broadcast_to(arange_k[None, :], (B, K))
+    ancestors, chars_fwd = _backtrack(parents, emitted, order)
+    chunk_out, chunk_len = _left_compact(chars_fwd, chars_fwd >= 0, T)
+
+    # New suffix per beam = ancestor's carried suffix ++ this chunk's
+    # emissions.  One-hot row-select is exact; the append is index
+    # arithmetic over the static U axis (gathers are fine outside the
+    # scan — this runs once per chunk).
+    sel = ancestors[:, :, None] == arange_k[None, None, :]       # (B, K, K)
+    par_prefix = jnp.sum(
+        jnp.where(sel[:, :, :, None], stream.prefix[:, None, :, :], 0),
+        axis=2,
+    )
+    par_len = jnp.sum(jnp.where(sel, stream.prefix_len[:, None, :], 0),
+                      axis=-1)
+    idx = arange_u[None, None, :] - par_len[:, :, None]          # (B, K, U)
+    from_chunk = jnp.take_along_axis(
+        chunk_out, jnp.clip(idx, 0, chunk_out.shape[2] - 1), axis=-1
+    )
+    new_prefix = jnp.where(
+        idx < 0,
+        par_prefix,
+        jnp.where(idx < chunk_len[:, :, None], from_chunk, -1),
+    )
+    new_len = jnp.minimum(par_len + chunk_len, U)
+
+    # Committed = longest common prefix over LIVE beams (dead beams are
+    # NEG_INF filler and must not constrain it).
+    live = jnp.logaddexp(final.p_b, final.p_nb) > NEG_INF / 2    # (B, K)
+    ref = new_prefix[:, 0:1, :]                                  # beam 0
+    within = arange_u[None, None, :] < new_len[:, :, None]
+    agrees = (new_prefix == ref) & within
+    ok = jnp.all(agrees | ~live[:, :, None], axis=1)             # (B, U)
+    commit_len = jnp.sum(
+        jnp.cumprod(ok.astype(jnp.int32), axis=-1), axis=-1
+    ).astype(jnp.int32)
+
+    committed = jnp.where(
+        arange_u[None, :] < commit_len[:, None], new_prefix[:, 0, :], -1
+    )
+
+    # Trim the committed head off every beam's suffix buffer.
+    tidx = jnp.broadcast_to(
+        arange_u[None, None, :] + commit_len[:, None, None],
+        new_prefix.shape,
+    )
+    trimmed = jnp.take_along_axis(
+        new_prefix, jnp.minimum(tidx, U - 1), axis=-1
+    )
+    trim_len = jnp.maximum(new_len - commit_len[:, None], 0)
+    trimmed = jnp.where(
+        arange_u[None, None, :] < trim_len[:, :, None], trimmed, -1
+    )
+
+    out = BeamStream(
+        beam=final, lm=lm_final, prefix=trimmed, prefix_len=trim_len
+    )
+    return out, committed, commit_len
+
+
+def beam_stream_flush(
+    stream: BeamStream,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """End-of-stream tail: the best beam's remaining uncommitted suffix
+    (already left-aligned and -1 padded).  Returns (labels (B, U),
+    lengths (B,))."""
+    return stream.prefix[:, 0, :], stream.prefix_len[:, 0]

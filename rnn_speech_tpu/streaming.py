@@ -26,10 +26,12 @@ Consequences, pinned by tests/test_streaming.py:
   * The static log-mel channels equal the whole-clip values up to the
     per-filter normalization constant: whole-clip subtracts the clip mean
     (non-causal — unknowable mid-stream), streaming subtracts the running
-    mean over all frames seen so far.  At flush time the running mean IS
-    the clip mean, so the un-normalized parity is exact throughout and the
-    normalized features converge to the whole-clip values as the stream
-    progresses.
+    mean over frames 0..i for frame i — a function of the frame's own
+    index only, NEVER of how the stream was chunked, so any chunking
+    yields bit-identical features (and therefore identical decoded text).
+    By the final frame the running mean IS the clip mean, so the
+    un-normalized parity is exact throughout and the normalized features
+    converge to the whole-clip values as the stream progresses.
 
 Emission is delayed by 8 frames (two chained 9-wide savgol half-windows,
 80 ms) so Δ/ΔΔ never see a chunk edge; ``flush()`` drains the tail with
@@ -122,6 +124,7 @@ class StreamingFbank:
         self.d1 = StreamingSavgol()
         self.d2 = StreamingSavgol()
         self.static: List[np.ndarray] = []       # un-normed, await deltas
+        self.norm_means: List[np.ndarray] = []   # per-frame mean snapshot
         self.d1_rows: List[np.ndarray] = []
         self.d2_rows: List[np.ndarray] = []
         self.mean_sum = np.zeros((frontend.FBANK_NFILT,), np.float64)
@@ -151,6 +154,20 @@ class StreamingFbank:
             self.mean_sum += row
             self.mean_count += 1
             self.static.append(row)
+            # Snapshot the running mean at the frame's OWN index: frame
+            # i is normalized by the mean over frames 0..i regardless of
+            # when savgol lookahead lets it emit.  Normalizing with the
+            # emission-time mean instead would make the static channels
+            # depend on the chunking (bigger feeds advance more frames
+            # before emission), breaking decode chunk-size invariance
+            # (tests/test_streaming.py::
+            # test_transcriber_decode_is_chunk_size_invariant).
+            if self.mean_norm:
+                self.norm_means.append(
+                    self.mean_sum / self.mean_count + 1e-8
+                )
+            else:
+                self.norm_means.append(np.zeros_like(self.mean_sum))
             for d1_row in self.d1.push(row):
                 self.d1_rows.append(d1_row)
                 self.d2_rows.extend(self.d2.push(d1_row))
@@ -159,17 +176,15 @@ class StreamingFbank:
         n = min(len(self.static), len(self.d1_rows), len(self.d2_rows))
         if n == 0:
             return np.zeros((0, frontend.FBANK_DIM), np.float32)
-        if self.mean_norm:
-            mean = self.mean_sum / max(self.mean_count, 1) + 1e-8
-        else:
-            mean = np.zeros_like(self.mean_sum)
         rows = [
             np.concatenate([
-                self.static[i] - mean, self.d1_rows[i], self.d2_rows[i]
+                self.static[i] - self.norm_means[i],
+                self.d1_rows[i], self.d2_rows[i],
             ])
             for i in range(n)
         ]
-        del self.static[:n], self.d1_rows[:n], self.d2_rows[:n]
+        del self.static[:n], self.norm_means[:n]
+        del self.d1_rows[:n], self.d2_rows[:n]
         return np.stack(rows).astype(np.float32)
 
     def feed(self, sig: np.ndarray) -> np.ndarray:

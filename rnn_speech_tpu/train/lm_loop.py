@@ -153,14 +153,22 @@ def train_language(
         )
 
     def eval_perplexity(params) -> Tuple[float, float]:
-        """(mean next-char NLL, perplexity) over the held-out sentences."""
-        losses = [
-            float(lm_eval(params, jnp.asarray(c), jnp.asarray(n)))
-            for c, n in eval_batches.epoch()
-        ]
-        if not losses:
+        """(mean next-char NLL, perplexity) over the held-out sentences.
+
+        Each batch's mean NLL is weighted by its valid-token count so the
+        padded final batch (zero-length filler rows) doesn't skew the
+        corpus-level mean."""
+        total_nll, total_tokens = 0.0, 0.0
+        for c, n in eval_batches.epoch():
+            tokens = float(np.maximum(n - 1, 0).sum())
+            if tokens == 0.0:
+                continue
+            mean = float(lm_eval(params, jnp.asarray(c), jnp.asarray(n)))
+            total_nll += mean * tokens
+            total_tokens += tokens
+        if total_tokens == 0.0:
             return 0.0, 1.0
-        mean = float(np.mean(losses))
+        mean = total_nll / total_tokens
         return mean, float(np.exp(mean))
 
     # Multi-process runs train the LM identically on every host (same
@@ -217,6 +225,7 @@ def train_language(
                 writer.add_scalar("lm/learning_rate", float(lr), step)
                 writer.add_scalar("lm/train_mean_loss", mean_window, step)
 
+            decay_signal, ran_eval = mean_window, False
             if (
                 eval_texts
                 and config.steps_per_evaluation
@@ -230,10 +239,15 @@ def train_language(
                 if writer:
                     writer.add_scalar("lm/test_mean_loss", nll, step)
                     writer.add_scalar("lm/test_perplexity", ppl, step)
+                decay_signal, ran_eval = nll, True
 
-            # Plateau decay on the train-window loss — the same accounting
-            # the acoustic loop applies to its window error rate.
-            if policy.update(mean_window):
+            # Plateau decay: the acoustic loop mirrors the reference in
+            # decaying on the train-window signal, but the LM (no reference
+            # protocol to match) decays on held-out NLL whenever evaluation
+            # is configured — the right generalization signal.  Without an
+            # eval cadence the train-window loss stands in.
+            eval_drives = bool(eval_texts and config.steps_per_evaluation)
+            if (ran_eval or not eval_drives) and policy.update(decay_signal):
                 lr = lr * policy.decay_factor
                 logger.info("LM is not improving, decaying the learning rate")
                 if float(lr) < MIN_LEARNING_RATE:

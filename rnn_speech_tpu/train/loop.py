@@ -336,13 +336,14 @@ def train_acoustic(
     pending = None    # (session step number, metrics, dispatch_time)
 
     def drain_pending():
-        nonlocal pending, window_err
+        nonlocal pending, window_err, window_steps
         if pending is None:
             return
         step_no, m, t_disp = pending
         pending = None
         err = float(m["mean_error_rate"])     # blocks until that step is done
-        window_err += err / config.steps_per_checkpoint
+        window_err += err
+        window_steps += 1
         if step_hook is not None:
             step_hook(step_no, m)
         logger.info(
@@ -367,7 +368,7 @@ def train_acoustic(
 
     try:
         while True:
-            window_err = 0.0
+            window_err, window_steps = 0.0, 0
             for _ in range(config.steps_per_checkpoint):
                 batch, rolled = next_batch()
                 if max_epoch is not None and n_proc == 1 and \
@@ -406,6 +407,24 @@ def train_acoustic(
                 if max_steps is not None and total_steps >= max_steps:
                     break
             drain_pending()       # window tail, before the stats are used
+            if window_steps == 0:
+                # A window that ran no steps (max_epoch/max_steps tripped at
+                # the boundary) has no mean to log or decay on — feeding 0.0
+                # to the plateau policy would register a spurious "new best"
+                # and clear the decay history.
+                if max_epoch is not None and global_epoch() > max_epoch:
+                    logger.info(
+                        "Max number of epochs reached, exiting training session"
+                    )
+                    break
+                if max_steps is not None and total_steps >= max_steps:
+                    break
+                continue
+            # Mean over the steps actually drained: a window truncated by
+            # max_steps/max_epoch would otherwise report a mean biased low
+            # by steps_run/steps_per_checkpoint — and that biased value
+            # feeds both TensorBoard and the plateau policy.
+            window_err /= window_steps
 
             current_step = int(state["step"])
             # The replication gather is a COLLECTIVE: every process must
@@ -480,42 +499,59 @@ def evaluate_dataset(
 
     Multi-process pods: hosts' test shards can yield different batch
     counts, but the sharded eval step psums across the pod, so every
-    process must dispatch the same number of steps.  Exhausted hosts keep
-    feeding all-padding batches (which the metrics already ignore) until a
-    tiny per-batch flag-allgather says every host is done."""
+    process must dispatch the same number of steps.  The step count is
+    fixed by ONE upfront allgather of each host's file-count bound — a
+    per-batch flag-allgather would park a blocking host collective between
+    every dispatch, serializing exactly the pipelining the WINDOW exists
+    for.  Skipped clips can only shrink a host's real batch count below
+    that bound, so exhausted hosts feed all-padding batches (which the
+    psummed metrics ignore) for the remainder; a single closing allgather
+    of the real counts drops the steps that were padding on EVERY host."""
     import jax as _jax
     from collections import deque
 
     WINDOW = 4
     in_flight = deque()
-    losses, errs, n = 0.0, 0.0, 0
+    drained: List[Tuple[float, float]] = []
 
     def drain_one():
-        nonlocal losses, errs, n
         m = in_flight.popleft()
-        losses += float(m["mean_loss"])
-        errs += float(m["mean_error_rate"])
-        n += 1
+        drained.append(
+            (float(m["mean_loss"]), float(m["mean_error_rate"]))
+        )
 
     batches = iter(pipe_mod.InputPipeline(test_set, char_map, pcfg))
+    real_steps = None
     if _jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
+        macro = pcfg.batch_size * pcfg.mini_batch_size
+        bound = -(-len(test_set) // macro)
+        total = int(
+            multihost_utils.process_allgather(np.asarray(bound)).max()
+        )
         empty = None
-        while True:
+        local_real = 0
+        for _ in range(total):
             batch = next(batches, None)
-            done = batch is None
-            if multihost_utils.process_allgather(np.asarray(done)).all():
-                break
-            if done:
+            if batch is None:
                 if empty is None:
                     empty = pipe_mod.InputPipeline(
                         [], char_map, pcfg
                     ).empty_batch()
                 batch = empty
+            else:
+                local_real += 1
             in_flight.append(eval_fn(scfg, state, put_batch(batch)))
             if len(in_flight) > WINDOW:
                 drain_one()
+        # Hosts feed their real batches first, so step i carried real data
+        # somewhere on the pod iff i < max(local_real); later steps were
+        # all-padding pod-wide and their (guarded) zero metrics would bias
+        # the mean low.
+        real_steps = int(
+            multihost_utils.process_allgather(np.asarray(local_real)).max()
+        )
     else:
         for batch in batches:
             in_flight.append(eval_fn(scfg, state, put_batch(batch)))
@@ -523,6 +559,10 @@ def evaluate_dataset(
                 drain_one()
     while in_flight:
         drain_one()
-    if n == 0:
+    kept = drained if real_steps is None else drained[:real_steps]
+    if not kept:
         return {"mean_loss": 0.0, "mean_error_rate": 0.0}
-    return {"mean_loss": losses / n, "mean_error_rate": errs / n}
+    return {
+        "mean_loss": sum(m[0] for m in kept) / len(kept),
+        "mean_error_rate": sum(m[1] for m in kept) / len(kept),
+    }

@@ -206,3 +206,18 @@ def test_parity_against_reference_codec():
         # Our roundtrip must always reproduce the cleaned input.
         assert cm.decode(cm.encode(cleaned)) == cleaned
     assert checked_equal > 50  # the lossless case must actually be exercised
+
+
+def test_decode_continuation_is_split_invariant():
+    """decode(a) + decode(b, continuation=bool(a-part)) == decode(a+b) at
+    every split point — the contract streaming transcription relies on to
+    emit text piecewise without losing word boundaries."""
+    from rnn_speech_tpu.charmap import CharMap
+
+    cm = CharMap()
+    ids = cm.encode("the quick brown fox", add_eos=False)
+    whole = cm.decode(ids)
+    for split in range(len(ids) + 1):
+        head = cm.decode(ids[:split])
+        tail = cm.decode(ids[split:], continuation=bool(head))
+        assert head + tail == whole, split

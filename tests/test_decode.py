@@ -215,3 +215,123 @@ def test_left_compact_wider_than_T():
     labels, lengths, _ = decode.beam_search_decode(logits, ll, beam_width=3,
                                                    max_output=10)
     assert labels.shape == (B, 3, 10)
+
+
+# ------------------------------------------------------- streaming decoders
+
+def _run_beam_stream(logits, lengths, chunk, K, lm=None, lm_weight=0.0):
+    """Feed logits chunk-by-chunk; return concat(committed) + flush tail."""
+    T, B, V = logits.shape
+    stream = decode.beam_stream_init(B, V, beam_width=K, max_suffix=64,
+                                     lm=lm)
+    got = [[] for _ in range(B)]
+    off = 0
+    while off < T:
+        n = min(chunk, T - off)
+        cl = jnp.clip(lengths - off, 0, n)
+        stream, com, comlen = decode.beam_stream_decode(
+            stream, logits[off : off + n], cl, lm=lm, lm_weight=lm_weight
+        )
+        for b in range(B):
+            got[b].extend(int(x) for x in np.asarray(com)[b, : int(comlen[b])])
+        off += n
+    tail, tail_len = decode.beam_stream_flush(stream)
+    for b in range(B):
+        got[b].extend(int(x) for x in np.asarray(tail)[b, : int(tail_len[b])])
+    return got
+
+
+@pytest.mark.parametrize("chunk", [1, 5, 7, 37, 50])
+def test_greedy_stream_matches_whole_clip(chunk):
+    """Chunked greedy with the prev-argmax carry reproduces whole-clip
+    greedy text exactly at every chunk size (a character spanning a chunk
+    boundary must not be emitted twice)."""
+    rng = np.random.default_rng(3)
+    T, B, V = 37, 3, 6
+    logits = jnp.asarray(rng.normal(0, 2, (T, B, V)).astype(np.float32))
+    lengths = jnp.asarray([37, 20, 1], jnp.int32)
+
+    ids, lens = decode.greedy_decode(logits, lengths)
+    whole = [
+        [int(x) for x in np.asarray(ids)[b, : int(lens[b])]] for b in range(B)
+    ]
+
+    prev = jnp.full((B,), -1, jnp.int32)
+    got = [[] for _ in range(B)]
+    off = 0
+    while off < T:
+        n = min(chunk, T - off)
+        cl = jnp.clip(lengths - off, 0, n)
+        out, olens, prev = decode.greedy_stream_decode(
+            logits[off : off + n], cl, prev
+        )
+        for b in range(B):
+            got[b].extend(int(x) for x in np.asarray(out)[b, : int(olens[b])])
+        off += n
+    assert got == whole
+
+
+@pytest.mark.parametrize("chunk", [1, 6, 11, 37])
+def test_beam_stream_matches_whole_clip(chunk):
+    """Chunk-carried beam search: concat(committed per chunk) + flush tail
+    equals the whole-clip top-1 exactly, at every chunk size — including
+    ragged rows whose valid frames end mid-chunk."""
+    rng = np.random.default_rng(0)
+    T, B, V, K = 37, 3, 8, 4
+    logits = jnp.asarray(rng.normal(0, 2, (T, B, V)).astype(np.float32))
+    lengths = jnp.asarray([37, 20, 1], jnp.int32)
+
+    out, lens, _ = decode.beam_search_decode(logits, lengths, beam_width=K)
+    whole = [
+        [int(x) for x in np.asarray(out)[b, 0, : int(lens[b, 0])]]
+        for b in range(B)
+    ]
+    assert _run_beam_stream(logits, lengths, chunk, K) == whole
+
+
+@pytest.mark.parametrize("chunk", [4, 25])
+def test_beam_stream_with_lm_fusion_matches_whole_clip(chunk):
+    """The LM-fusion state (cumulative score, per-beam logp, RNN state)
+    carries across chunks: chunked shallow-fusion decode equals the
+    whole-clip fused top-1 exactly."""
+    from rnn_speech_tpu.models import language
+
+    rng = np.random.default_rng(1)
+    T, B, V, K = 25, 2, 8, 4
+    cfg = language.LanguageConfig(num_layers=1, hidden_size=16, num_labels=V)
+    lm_params = language.init_params(jax.random.PRNGKey(3), cfg)
+    lm = language.stepper(lm_params, cfg)
+
+    logits = jnp.asarray(rng.normal(0, 2, (T, B, V)).astype(np.float32))
+    lengths = jnp.asarray([25, 13], jnp.int32)
+
+    out, lens, _ = decode.beam_search_decode(
+        logits, lengths, beam_width=K, lm=lm, lm_weight=0.7
+    )
+    whole = [
+        [int(x) for x in np.asarray(out)[b, 0, : int(lens[b, 0])]]
+        for b in range(B)
+    ]
+    got = _run_beam_stream(logits, lengths, chunk, K, lm=lm, lm_weight=0.7)
+    assert got == whole
+
+
+def test_beam_stream_commits_are_monotone_prefixes():
+    """Committed symbols are final: the concatenation after every chunk is
+    a prefix of the concatenation after the next chunk."""
+    rng = np.random.default_rng(7)
+    T, B, V, K = 30, 1, 6, 4
+    logits = jnp.asarray(rng.normal(0, 1.5, (T, B, V)).astype(np.float32))
+    lengths = jnp.asarray([T], jnp.int32)
+
+    stream = decode.beam_stream_init(B, V, beam_width=K, max_suffix=64)
+    emitted = []
+    snapshots = []
+    for off in range(0, T, 5):
+        stream, com, comlen = decode.beam_stream_decode(
+            stream, logits[off : off + 5], jnp.asarray([5], jnp.int32)
+        )
+        emitted.extend(int(x) for x in np.asarray(com)[0, : int(comlen[0])])
+        snapshots.append(list(emitted))
+    for a, b in zip(snapshots, snapshots[1:]):
+        assert b[: len(a)] == a

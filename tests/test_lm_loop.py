@@ -146,7 +146,10 @@ def test_lm_loop_writes_eval_metrics(tmp_path):
 
 def test_lm_loop_plateau_decays_lr(tmp_path, monkeypatch):
     """The loop wires PlateauPolicy verdicts to LR decay + re-checkpoint
-    (the policy's own accounting is pinned by tests/test_loop.py)."""
+    (the policy's own accounting is pinned by tests/test_loop.py).
+    Evaluation is configured here, so the policy must be fed at the eval
+    cadence (held-out NLL drives the decay, see
+    test_lm_loop_decay_signal_is_heldout_nll)."""
 
     class DecayOnSecond:
         def __init__(self, factor):
@@ -160,7 +163,7 @@ def test_lm_loop_plateau_decays_lr(tmp_path, monkeypatch):
     monkeypatch.setattr(lm_loop, "PlateauPolicy", DecayOnSecond)
     cm = CharMap()
     config = make_config(tmp_path, steps_per_checkpoint=2,
-                         steps_per_evaluation=10_000)
+                         steps_per_evaluation=2)
     lm_loop.train_language(config, TEXTS, cm, max_steps=6)
 
     import jax
@@ -174,3 +177,72 @@ def test_lm_loop_plateau_decays_lr(tmp_path, monkeypatch):
     assert restored is not None
     _, _, lr = restored
     np.testing.assert_allclose(lr, 0.01 * 0.33, rtol=1e-5)
+
+
+def test_lm_loop_decay_signal_is_heldout_nll(tmp_path, monkeypatch):
+    """With an eval cadence configured the plateau policy must be driven
+    by the held-out NLL — not the train-window loss (VERDICT r2 #7) — and
+    only at eval windows."""
+    import json
+    import os
+
+    fed = []
+
+    class Recorder:
+        def __init__(self, factor):
+            self.decay_factor = factor
+
+        def update(self, value):
+            fed.append(float(value))
+            return False
+
+    monkeypatch.setattr(lm_loop, "PlateauPolicy", Recorder)
+    cm = CharMap()
+    tb = tmp_path / "tb"
+    tb.mkdir()
+    # Eval every 4 steps, checkpoint window every 2: the policy is fed at
+    # half the window cadence, with the eval values.
+    config = make_config(tmp_path, steps_per_checkpoint=2,
+                         steps_per_evaluation=4, tensorboard_dir=str(tb))
+    lm_loop.train_language(config, TEXTS, cm, max_steps=8)
+
+    lines = []
+    for dirpath, _, names in os.walk(str(tb)):
+        for name in names:
+            if "tfevents" in name:
+                continue
+            lines.extend(
+                json.loads(l) for l in open(os.path.join(dirpath, name))
+            )
+    evals = [l["value"] for l in lines if l["tag"] == "lm/test_mean_loss"]
+    trains = [l["value"] for l in lines if l["tag"] == "lm/train_mean_loss"]
+    assert len(trains) == 4                      # every window logged
+    assert len(evals) == 2                       # steps 4 and 8
+    np.testing.assert_allclose(fed, evals, rtol=1e-6)
+
+
+def test_lm_loop_decay_uses_train_loss_without_eval(tmp_path, monkeypatch):
+    """Without an eval cadence the train-window loss stands in as the
+    plateau signal (every window feeds the policy)."""
+    fed = []
+
+    class Recorder:
+        def __init__(self, factor):
+            self.decay_factor = factor
+
+        def update(self, value):
+            fed.append(float(value))
+            return False
+
+    monkeypatch.setattr(lm_loop, "PlateauPolicy", Recorder)
+    cm = CharMap()
+    config = make_config(tmp_path, steps_per_checkpoint=2,
+                         steps_per_evaluation=0)
+    hooked = []
+    lm_loop.train_language(
+        config, TEXTS, cm, max_steps=6,
+        step_hook=lambda s, m: hooked.append(m["mean_loss"]),
+    )
+    assert len(fed) == 3
+    expected = [np.mean(hooked[i : i + 2]) for i in range(0, 6, 2)]
+    np.testing.assert_allclose(fed, expected, rtol=1e-6)

@@ -150,12 +150,18 @@ def mh_root(tmp_path_factory):
             fh.write("HELLO WORLD\n")
     # Test corpus of NINE copies: strided host shards get 5 vs 4 clips,
     # so one host runs an extra eval batch and the exhausted host must
-    # feed a synchronized all-padding batch.
+    # feed a synchronized all-padding batch.  0.5 s clips: the corpus
+    # readers drop audio <= 0.4 s (the reference's min_audio_size filter),
+    # and the CLI --evaluate path goes through DataProcessor.
     test_corpus = root / "test_corpus"
     test_corpus.mkdir()
+    n2 = int(22050 * 0.5)
+    sig2 = (0.3 * np.sin(2 * np.pi * 440 * np.arange(n2) / 22050)).astype(
+        np.float32
+    )
     for i in range(9):
         path = str(test_corpus / f"t{i}.wav")
-        audio_io.write_wav(path, sig, 22050)
+        audio_io.write_wav(path, sig2, 22050)
         with open(path + ".trn", "w") as fh:
             fh.write("HELLO WORLD\n")
     child = root / "child.py"
@@ -287,3 +293,69 @@ def test_two_process_fsdp_training_completes(mh_root):
     # The checkpoint was written (by process 0) from gathered params.
     ckpts = os.listdir(str(root / "ckpt_fsdp" / "acoustic"))
     assert any(name.endswith(".npz") for name in ckpts)
+
+
+EVAL_CHILD = """
+import os, sys, json, io, contextlib
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=" + sys.argv[1]
+)
+mode = sys.argv[2]            # "single" | "0" | "1"
+port = sys.argv[3]
+out_path = sys.argv[4]
+config_path = sys.argv[5]
+if mode != "single":
+    os.environ["RST_MULTIHOST"] = "1"
+    os.environ["RST_COORD_ADDR"] = "localhost:" + port
+    os.environ["RST_NUM_PROCESSES"] = "2"
+    os.environ["RST_PROCESS_ID"] = mode
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, "__REPO__")
+from rnn_speech_tpu import cli
+
+buf = io.StringIO()
+with contextlib.redirect_stdout(buf):
+    rc = cli.main(["--evaluate", "--config", config_path,
+                   "--mesh_data", "0"])
+with open(out_path, "w") as fh:
+    json.dump({"rc": rc, "out": buf.getvalue(),
+               "process_index": jax.process_index()}, fh)
+"""
+
+
+def test_two_process_cli_evaluate_matches_single(mh_root):
+    """--evaluate on a 2-process pod: each host decodes its shard of the
+    odd-sized test corpus (5-vs-4 clips -> the exhausted host feeds
+    all-padding lockstep batches), the WER/CER sums allgather, and ONLY
+    process 0 prints — with exactly the single-process numbers
+    (VERDICT r2 #4)."""
+    root, _ = mh_root
+    eval_child = root / "eval_child.py"
+    eval_child.write_text(EVAL_CHILD.replace("__REPO__", REPO))
+    (root / "tb_eval").mkdir(exist_ok=True)
+    cfg = root / "eval.ini"
+    cfg.write_text(CONFIG.format(root=root, tag="eval"))
+
+    out_s = str(root / "eval_single.json")
+    proc = _run(str(eval_child), 8, "single", 0, out_s, str(cfg))
+    _, err = proc.communicate(timeout=420)
+    assert proc.returncode == 0, err.decode(errors="replace")[-2000:]
+
+    port = _free_port()
+    out0, out1 = str(root / "eval0.json"), str(root / "eval1.json")
+    p0 = _run(str(eval_child), 4, "0", port, out0, str(cfg))
+    p1 = _run(str(eval_child), 4, "1", port, out1, str(cfg))
+    _, err0 = p0.communicate(timeout=420)
+    _, err1 = p1.communicate(timeout=420)
+    assert p0.returncode == 0, err0.decode(errors="replace")[-2000:]
+    assert p1.returncode == 0, err1.decode(errors="replace")[-2000:]
+
+    single = json.load(open(out_s))
+    mh0, mh1 = json.load(open(out0)), json.load(open(out1))
+    assert single["rc"] == mh0["rc"] == mh1["rc"] == 0
+    assert "Resulting WER" in single["out"]
+    # Process 0 prints the single-process numbers; process 1 stays silent.
+    assert mh0["out"] == single["out"]
+    assert mh1["out"] == ""

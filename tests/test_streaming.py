@@ -302,3 +302,79 @@ def test_transcriber_beam_decode_matches_greedy_when_trained(tmp_path):
     sf.feed(sig)
     second = sf.flush()
     np.testing.assert_allclose(first, second, atol=1e-6)
+
+
+def test_transcriber_decode_is_chunk_size_invariant(tmp_path):
+    """The VERDICT r2 #2 acceptance: the --record engine's decoded TEXT is
+    identical whether the clip arrives whole or in chunks of any size, for
+    both greedy and beam decode.  The streaming featurizer is chunk-size
+    invariant (test_chunked_matches_whole_clip), so this pins the decoder
+    carries: greedy's prev-argmax (boundary repeats collapse) and beam's
+    carried BeamState with commit-on-agreement emission."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.charmap import CharMap
+    from rnn_speech_tpu.cli import StreamingTranscriber
+    from rnn_speech_tpu.config import load_config
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.train import checkpoint as ckpt
+    from rnn_speech_tpu.train import step as step_mod
+
+    cm = CharMap()
+    sig = make_signal(1.0, seed=21)
+    feats, n = frontend.extract_fbank(sig, SR)
+    labels, label_len = cm.encode_padded("NICE WORK", 20)
+    cfg = acoustic.AcousticConfig(
+        num_layers=1, hidden_size=48, input_dim=120, num_labels=len(cm)
+    )
+    batch = {
+        "features": jnp.asarray(feats)[None, None],
+        "frame_lengths": jnp.asarray([[n]], jnp.int32),
+        "labels": jnp.asarray(labels)[None, None],
+        "label_lengths": jnp.asarray([[label_len]], jnp.int32),
+    }
+    scfg = step_mod.StepConfig(model=cfg, input_keep_prob=1.0,
+                               output_keep_prob=1.0)
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg, 1, 3e-3)
+    fn = jax.jit(step_mod.train_step, static_argnums=0)
+    for i in range(250):
+        state, metrics = fn(scfg, state, batch, jax.random.PRNGKey(i),
+                            jnp.asarray(True))
+    ckpt.save(str(tmp_path / "ckpt" / "acoustic"), state["params"], 1, 3e-3)
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        "[acoustic_network_params]\nnum_layers : 1\nhidden_size : 48\n"
+        "dropout_input_keep_prob : 1.0\ndropout_output_keep_prob : 1.0\n"
+        "batch_size : 1\nmini_batch_size : 1\nlearning_rate : 0.003\n"
+        "lr_decay_factor : 0.33\ngrad_clip : 5\n"
+        "signal_processing : fbank\nlanguage : english\n"
+        "rnn_state_reset_ratio : 1.0\n"
+        "[general]\nuse_config_file_if_checkpoint_exists : True\n"
+        "steps_per_checkpoint : 2\nsteps_per_evaluation : 1000\n"
+        "checkpoint_dir : {}\n"
+        "[training]\ntraining_dataset_dirs :\n"
+        "max_input_seq_length : 300\nmax_target_seq_length : 40\n"
+        "batch_normalization : False\ndataset_size_ordering : False\n"
+        "[logging]\nlog_level : WARNING\n"
+        "[tpu]\ncompute_dtype : float32\nuse_pallas_lstm : False\n"
+        "prefetch_depth : 0\n".format(tmp_path / "ckpt")
+    )
+    config = load_config(str(ini))
+    for width in (1, 4):
+        texts = {}
+        for chunk_s in (None, 0.25, 0.11):
+            tr = StreamingTranscriber(config, cm, chunk_seconds=0.5,
+                                      beam_width=width)
+            if chunk_s is None:
+                text = tr.feed(sig) + tr.finish()
+            else:
+                chunk = int(SR * chunk_s)
+                pieces = [tr.feed(sig[i : i + chunk])
+                          for i in range(0, len(sig), chunk)]
+                pieces.append(tr.finish())
+                text = "".join(pieces)
+            texts[chunk_s] = text
+        assert texts[None].strip() != ""
+        assert texts[0.25] == texts[None], (width, texts)
+        assert texts[0.11] == texts[None], (width, texts)

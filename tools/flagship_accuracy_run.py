@@ -1,0 +1,297 @@
+#!/usr/bin/env python
+"""One CONTINUOUS flagship-shape accuracy session with decode-quality deltas.
+
+VERDICT r2 #1 (and Weak #1): the round-2 accuracy artifact came from an
+acoustically trivial corpus trained in fragmented per-round sessions — the
+PlateauPolicy history and Adam state reset every round, so LR decay never
+engaged, and no accuracy number ever exercised the repo's flagship decode
+features (beam search, LM shallow fusion).  This tool replaces that
+protocol:
+
+  1. Build a ``syllables`` corpus (tools/make_demo_corpus.render_syllables:
+     formant-like multi-tone characters, per-clip pitch jitter, per-char
+     duration jitter, broadband noise) with a held-out sentence split.
+  2. Run ONE ``loop.train_acoustic`` session at the reference topology
+     (3x1024, fbank-120 — trained_models/english/acoustic/README.md:44-67)
+     with the loop's own eval cadence and plateau LR decay active
+     (/root/reference/stt.py:219-231) — no restarts, so the decay history
+     and optimizer state persist across the whole run.
+  3. Train a char-LM on the TRAINING transcripts (train/lm_loop.py).
+  4. Decode the held-out split three ways — greedy, beam K, beam K + LM
+     shallow fusion (the reference ran its beam decoder as the default
+     quality path, /root/reference/models/AcousticModel.py:312) — and
+     record the WER/CER table, the train/eval curves and the LR trajectory
+     (decay visibly engaging) as one JSON artifact.
+
+The committed benchmarks/flagship_accuracy.json comes from running this on
+the TPU chip; tests/test_flagship_protocol.py pins the protocol at toy
+scale on CPU.
+
+Usage:
+  python tools/flagship_accuracy_run.py --out benchmarks/flagship_accuracy.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_corpus(workdir: str, clips: int, seed: int, sr: int,
+                 noise_std: float, test_frac: float = 0.1):
+    """Syllables-mode corpus with a disjoint train/test sentence split."""
+    import make_demo_corpus as gen
+
+    rng = np.random.default_rng(seed)
+    texts = gen.sample_sentences(clips, rng)
+    sigs = [gen.render_syllables(t, sr, rng, noise_std=noise_std)
+            for t in texts]
+    gen.write_corpus(workdir, texts, sigs, sr)
+
+    from rnn_speech_tpu import corpus
+
+    dp = corpus.DataProcessor(os.path.join(workdir, "demo"))
+    dataset = dp.get_dataset()
+    n_test = max(1, int(len(dataset) * test_frac))
+    dataset = sorted(dataset, key=lambda item: item[0])
+    rng.shuffle(dataset)
+    return dataset[n_test:], dataset[:n_test]
+
+
+def read_curves(tb_dir: str, run_name: str):
+    """(step-indexed) train error, eval error and LR from events.jsonl."""
+    path = os.path.join(tb_dir, run_name, "events.jsonl")
+    by_tag: dict = {}
+    if not os.path.exists(path):
+        return by_tag
+    for line in open(path):
+        rec = json.loads(line)
+        if rec.get("kind") != "scalar":
+            continue
+        by_tag.setdefault(rec["tag"], []).append(
+            (int(rec["step"]), float(rec["value"]))
+        )
+    return by_tag
+
+
+def decode_table(config, char_map, test_set, beam_width: int,
+                 lm_weight: float, decode_batch: int):
+    """Held-out WER/CER for greedy / beam / beam+LM on the FINAL params.
+
+    All clips are padded to one fixed audio width, so each decode mode
+    costs exactly one XLA compile (beam programs compile for minutes over
+    a tunneled TPU link — width buckets would multiply that)."""
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu import audio_io
+    from rnn_speech_tpu import cli as cli_mod
+    from rnn_speech_tpu.ops.frontend_jax import featurize
+    from rnn_speech_tpu.train.metrics import calculate_cer, calculate_wer
+
+    model_cfg, fe, pcfg, params = cli_mod._build_forward(
+        config, char_map, decode_batch
+    )
+    lm = cli_mod._load_lm_stepper(config, char_map, lm_weight)
+
+    # Featurize once; decode the same feature batches under each mode.
+    audio_batches = []
+    truths_batches = []
+    cur_a, cur_t = [], []
+    for path, truth, _ in test_set:
+        sig, _sr = audio_io.load(path, sr=pcfg.sample_rate)
+        sig = sig[: pcfg.max_samples]
+        cur_a.append(sig)
+        cur_t.append(truth)
+        if len(cur_a) == decode_batch:
+            audio_batches.append(cur_a)
+            truths_batches.append(cur_t)
+            cur_a, cur_t = [], []
+    if cur_a:
+        audio_batches.append(cur_a)
+        truths_batches.append(cur_t)
+
+    feat_batches = []
+    for batch in audio_batches:
+        audio = np.zeros((decode_batch, pcfg.max_samples), np.float32)
+        lengths = np.zeros((decode_batch,), np.int32)
+        for i, sig in enumerate(batch):
+            audio[i, : len(sig)] = sig
+            lengths[i] = len(sig)
+        feats, nf = featurize(fe, jnp.asarray(audio), jnp.asarray(lengths))
+        feat_batches.append((feats, nf))
+
+    modes = {
+        "greedy": (1, None, 0.0),
+        f"beam{beam_width}": (beam_width, None, 0.0),
+    }
+    if lm is not None:
+        modes[f"beam{beam_width}_lm"] = (beam_width, lm, lm_weight)
+
+    table = {}
+    for name, (width, lm_arg, w) in modes.items():
+        infer, _ = cli_mod._make_infer(model_cfg, width, lm_arg, w)
+        wers, cers = [], []
+        t0 = time.time()
+        for (feats, nf), truths in zip(feat_batches, truths_batches):
+            labels, lens = infer(params, feats, nf)
+            labels = np.asarray(labels)
+            lens = np.asarray(lens)
+            for b, truth in enumerate(truths):
+                hyp = char_map.decode(list(labels[b, : int(lens[b])]))
+                truth_norm = truth.lower()
+                hyp_norm = hyp.lower().strip()
+                n_words = max(len(truth_norm.split()), 1)
+                n_chars = max(len(truth_norm), 1)
+                wers.append(min(
+                    1.0, calculate_wer(truth_norm, hyp_norm) / n_words
+                ))
+                cers.append(min(
+                    1.0, calculate_cer(truth_norm, hyp_norm) / n_chars
+                ))
+        table[name] = {
+            "wer": round(100.0 * float(np.mean(wers)), 2),
+            "cer": round(100.0 * float(np.mean(cers)), 2),
+            "clips": len(wers),
+            "decode_seconds": round(time.time() - t0, 1),
+        }
+        print(f"decode[{name}]: WER {table[name]['wer']}% "
+              f"CER {table[name]['cer']}%", flush=True)
+    return table
+
+
+def run(workdir: str, out_path, *, clips: int, layers: int, hidden: int,
+        batch: int, max_steps: int, steps_per_checkpoint: int, lr: float,
+        beam_width: int, lm_weight: float, seed: int = 0,
+        sr: int = 16000, noise_std: float = 900.0,
+        max_input_seq_length: int = 600, max_target_seq_length: int = 80,
+        lm_layers: int = 1, lm_hidden: int = 256, lm_steps: int = 400,
+        decode_batch: int = 10, frame_stack: int = 1) -> dict:
+    from rnn_speech_tpu.config import Config, LmConfig, TpuConfig
+    from rnn_speech_tpu.models.recognizer import SpeechRecognizer
+    from rnn_speech_tpu.train import lm_loop, loop
+
+    train_set, test_set = build_corpus(workdir, clips, seed, sr, noise_std)
+    char_map = SpeechRecognizer("english").get_char_map()
+    tb_dir = os.path.join(workdir, "tb")
+    os.makedirs(tb_dir, exist_ok=True)
+    config = Config(
+        num_layers=layers, hidden_size=hidden, batch_size=batch,
+        mini_batch_size=1, learning_rate=lr, lr_decay_factor=0.33,
+        grad_clip=5.0, signal_processing="fbank",
+        dropout_input_keep_prob=0.9, dropout_output_keep_prob=0.6,
+        steps_per_checkpoint=steps_per_checkpoint,
+        steps_per_evaluation=steps_per_checkpoint,
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        tensorboard_dir=tb_dir,
+        max_input_seq_length=max_input_seq_length,
+        max_target_seq_length=max_target_seq_length,
+        rnn_state_reset_ratio=1.0, dataset_size_ordering="False",
+        lm=LmConfig(num_layers=lm_layers, hidden_size=lm_hidden,
+                    batch_size=16),
+        tpu=TpuConfig(frame_stack=frame_stack),
+    )
+
+    # --- 2. one continuous acoustic session -----------------------------
+    t0 = time.time()
+    loop.train_acoustic(
+        config, list(train_set), list(test_set), char_map,
+        max_steps=max_steps, tb_name="flagship",
+    )
+    train_seconds = time.time() - t0
+
+    curves = read_curves(tb_dir, "flagship")
+    lr_curve = curves.get("learning_rate", [])
+    lr_values = [v for _, v in lr_curve]
+    n_decays = sum(
+        1 for a, b in zip(lr_values, lr_values[1:]) if b < a * 0.99
+    )
+
+    # --- 3. char-LM on the training transcripts -------------------------
+    train_texts = [label for _, label, _ in train_set]
+    _, lm_step = lm_loop.train_language(
+        config, train_texts, char_map, max_steps=lm_steps
+    )
+
+    # --- 4. decode-quality deltas on the held-out split ------------------
+    table = decode_table(
+        config, char_map, test_set, beam_width, lm_weight, decode_batch
+    )
+
+    greedy_wer = table["greedy"]["wer"]
+    beam_key = f"beam{beam_width}"
+    result = {
+        "task": "flagship-shape continuous accuracy run "
+                "(syllables corpus, held-out split)",
+        "config": {
+            "clips": clips, "train": len(train_set), "test": len(test_set),
+            "layers": layers, "hidden": hidden, "batch": batch,
+            "features": "fbank-120", "lr": lr, "seed": seed,
+            "noise_std": noise_std, "max_steps": max_steps,
+            "steps_per_checkpoint": steps_per_checkpoint,
+            "beam_width": beam_width, "lm_weight": lm_weight,
+            "lm": {"layers": lm_layers, "hidden": lm_hidden,
+                   "steps": lm_step},
+            "train_seconds": round(train_seconds, 1),
+        },
+        "curves": {
+            "train_error_rate": curves.get("train/mean_error_rate", []),
+            "eval_error_rate": curves.get("test/mean_error_rate", []),
+            "learning_rate": lr_curve,
+        },
+        "lr_decays_engaged": n_decays,
+        "wer_table": table,
+        "decode_delta_vs_greedy": {
+            name: round(greedy_wer - entry["wer"], 2)
+            for name, entry in table.items() if name != "greedy"
+        },
+        "beam_improves": table[beam_key]["wer"] <= greedy_wer,
+    }
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=2)
+        print(f"Wrote {out_path}")
+    return result
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    parser.add_argument("--out", default="benchmarks/flagship_accuracy.json")
+    parser.add_argument("--workdir", default=None)
+    parser.add_argument("--clips", type=int, default=500)
+    parser.add_argument("--layers", type=int, default=3)
+    parser.add_argument("--hidden", type=int, default=1024)
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--max_steps", type=int, default=3000)
+    parser.add_argument("--steps_per_checkpoint", type=int, default=100)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--beam_width", type=int, default=16)
+    parser.add_argument("--lm_weight", type=float, default=0.4)
+    parser.add_argument("--lm_steps", type=int, default=400)
+    parser.add_argument("--noise_std", type=float, default=900.0)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="rst_flagship_")
+    result = run(
+        workdir, args.out, clips=args.clips, layers=args.layers,
+        hidden=args.hidden, batch=args.batch, max_steps=args.max_steps,
+        steps_per_checkpoint=args.steps_per_checkpoint, lr=args.lr,
+        beam_width=args.beam_width, lm_weight=args.lm_weight,
+        lm_steps=args.lm_steps, noise_std=args.noise_std, seed=args.seed,
+    )
+    print(json.dumps(result["wer_table"], indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -48,6 +48,75 @@ CHAR_GAP_MS = 20           # silence between characters
 SPACE_MS = 120             # silence for a word gap
 
 
+def render_syllables(text: str, sr: int, rng,
+                     noise_std: float = 900.0) -> np.ndarray:
+    """Formant-like audio font — the hardened accuracy corpus (VERDICT r2
+    #1: "formant-like multi-tone syllables, additive noise, per-clip
+    pitch/duration jitter").
+
+    Each character is a voiced syllable: a harmonic series on a glottal
+    fundamental, spectrally shaped by two character-dependent formant
+    resonances (Gaussian bumps at F1/F2) — a crude vowel.  Unlike the
+    ``letters`` font (one pure tone per character), the identity signal
+    lives in the spectral ENVELOPE, not an absolute pitch:
+
+      * per-clip pitch jitter: one f0 multiplier (0.85-1.2) for the whole
+        clip, so absolute harmonic frequencies are non-informative across
+        clips ("speaker" variation);
+      * per-character duration jitter (0.75-1.3x) and amplitude jitter,
+        so segmentation cannot rely on a fixed grid;
+      * additive broadband noise at a much higher floor than the letters
+        font (~14 dB SNR at the default), plus a small random DC-free
+        hum component.
+
+    A model must therefore learn pitch-invariant spectral-shape classes
+    under noise — a real (if small) acoustic-modeling task, not lookup.
+    """
+    tone_n0 = int(sr * CHAR_TONE_MS / 1000)
+    gap_n = int(sr * CHAR_GAP_MS / 1000)
+    space_n = int(sr * SPACE_MS / 1000)
+
+    f0 = 110.0 * float(rng.uniform(0.85, 1.2))     # per-clip pitch
+    pieces = []
+    for ch in text:
+        if ch == " ":
+            pieces.append(np.zeros(space_n))
+            continue
+        idx = ord(ch) - ord("A")
+        if not 0 <= idx < 26:
+            continue
+        # Distinct (F1, F2) pair per character; the *7 stride decorrelates
+        # F2 from F1 so neighbors in the alphabet are not spectral
+        # neighbors.
+        F1 = 320.0 + 58.0 * idx
+        F2 = 950.0 + 88.0 * ((idx * 7) % 26)
+        bw1, bw2 = 110.0, 160.0
+
+        tone_n = int(tone_n0 * float(rng.uniform(0.75, 1.3)))
+        t = np.arange(tone_n) / sr
+        env = np.hanning(tone_n)
+        sig = np.zeros(tone_n)
+        k_max = int((sr * 0.45) // f0)
+        for k in range(1, min(k_max, 40) + 1):
+            fk = k * f0
+            amp = (
+                np.exp(-0.5 * ((fk - F1) / bw1) ** 2)
+                + 0.7 * np.exp(-0.5 * ((fk - F2) / bw2) ** 2)
+            )
+            if amp < 1e-3:
+                continue
+            # Random phase per harmonic: the waveform shape varies even
+            # for the same character at the same pitch.
+            sig += amp * np.sin(2 * np.pi * fk * t + rng.uniform(0, 2 * np.pi))
+        peak = np.abs(sig).max() or 1.0
+        level = 9000.0 * float(rng.uniform(0.7, 1.1))
+        pieces.append(sig / peak * level * env)
+        pieces.append(np.zeros(gap_n))
+    sig = np.concatenate(pieces) if pieces else np.zeros(space_n)
+    sig = sig + rng.normal(0, noise_std, len(sig))
+    return np.clip(sig, -32000, 32000).astype(np.int16)
+
+
 def render_letters(text: str, sr: int, rng: np.ndarray) -> np.ndarray:
     """Audio-font rendering: per-character tones at systematic pitches."""
     tone_n = int(sr * CHAR_TONE_MS / 1000)
@@ -106,7 +175,7 @@ def write_corpus(out_dir: str, texts, sigs, sr: int) -> str:
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("--out", required=True, help="Corpus root directory")
-    parser.add_argument("--mode", choices=("letters", "tones"),
+    parser.add_argument("--mode", choices=("letters", "syllables", "tones"),
                         default="letters")
     parser.add_argument("--clips", type=int, default=300,
                         help="letters: distinct sentences; tones: max %d"
@@ -121,9 +190,10 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     sr = args.sample_rate
 
-    if args.mode == "letters":
+    if args.mode in ("letters", "syllables"):
+        render = render_letters if args.mode == "letters" else render_syllables
         texts = sample_sentences(args.clips, rng)
-        sigs = [render_letters(t, sr, rng) for t in texts]
+        sigs = [render(t, sr, rng) for t in texts]
         root = write_corpus(args.out, texts, sigs, sr)
     else:
         if args.seconds <= 0.4:

@@ -18,7 +18,11 @@ Prints ONE JSON line.  The primary metric stays the round-1 eval number
   {"metric": "eval_utterances_per_sec_per_chip", "value": N,
    "unit": "utt/s", "vs_baseline": N, "train_utt_per_sec": N,
    "train_ms_per_step": N, "train_batch": N, "beam8_utt_per_sec": N,
-   "beam16_utt_per_sec": N, "beam8_lm_utt_per_sec": N}
+   "beam16_utt_per_sec": N, "beam8_lm_utt_per_sec": N,
+   "beam8_trained_utt_per_sec": N, "beam16_trained_utt_per_sec": N,
+   "beam8_lm_trained_utt_per_sec": N, "trained_fixture_error_rate": N}
+The *_trained_* keys decode PEAKED logits: a quick flagship-shape
+memorization train on rendered letters audio (VERDICT r2 #6).
 
 Set RST_BENCH_FAST=1 to run only the primary eval metric.
 """
@@ -165,9 +169,16 @@ def bench_train() -> dict:
 
 
 def bench_beam(beam_width: int, with_lm: bool = False,
-               batch: int = 32, iters: int = 4) -> float:
+               batch: int = 32, iters: int = 4,
+               params=None, audio=None) -> float:
     """Eval throughput with the on-device prefix beam search (and optional
-    AM+LM shallow fusion) instead of greedy decode."""
+    AM+LM shallow fusion) instead of greedy decode.
+
+    With ``params``/``audio`` (see ``_trained_fixture``) the decode runs
+    on peaked trained-model logits over real rendered speech-like audio —
+    random-init logits are near-uniform, which makes beam ties/merges
+    maximally frequent and can misrepresent trained decode cost
+    (VERDICT r2 #6)."""
     import jax
     import jax.numpy as jnp
 
@@ -181,7 +192,8 @@ def bench_beam(beam_width: int, with_lm: bool = False,
         num_labels=LABELS, compute_dtype=jnp.bfloat16,
         use_pallas=jax.default_backend() != "cpu",
     )
-    params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
+    if params is None:
+        params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
     states = acoustic.zero_state(cfg, batch)
 
     lm, lm_weight = None, 0.0
@@ -207,10 +219,11 @@ def bench_beam(beam_width: int, with_lm: bool = False,
         )
         return labels, lengths_out
 
-    rng = np.random.default_rng(0)
-    audio = jnp.asarray(
-        rng.normal(0, 0.1, (batch, MAX_SAMPLES)).astype(np.float32)
-    )
+    if audio is None:
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(
+            rng.normal(0, 0.1, (batch, MAX_SAMPLES)).astype(np.float32)
+        )
     lengths = jnp.asarray(np.full((batch,), MAX_SAMPLES, np.int32))
     jax.block_until_ready(beam_fn(params, audio, lengths))
     t0 = time.perf_counter()
@@ -219,6 +232,87 @@ def bench_beam(beam_width: int, with_lm: bool = False,
     np.asarray(outs[-1][1])
     dt = time.perf_counter() - t0
     return batch * iters / dt
+
+
+def _trained_fixture(batch: int = 32):
+    """(trained flagship params, bench-width audio, final train error).
+
+    Trains the 3x1024 stack to memorization on 16 letters-font clips at a
+    short sequence (decode cost depends on logit peakedness, not
+    generalization; params are shape-independent of T), then tiles the
+    rendered audio to the bench width so the trained-decode measurement
+    runs at the same T as the random-logits numbers (VERDICT r2 #6)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"
+    ))
+    import jax
+    import jax.numpy as jnp
+    import make_demo_corpus as gen
+
+    from rnn_speech_tpu.charmap import CharMap
+    from rnn_speech_tpu.models import acoustic
+    from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend
+    from rnn_speech_tpu.train import step as step_mod
+    from rnn_speech_tpu.train.pipeline import PipelineConfig
+
+    rng = np.random.default_rng(7)
+    cm = CharMap()
+    texts = gen.sample_sentences(16, rng)
+    sigs = [
+        np.asarray(gen.render_letters(t, SR, rng), np.float32) / 32768.0
+        for t in texts
+    ]
+
+    T_TRAIN, MAX_LABEL = 500, 60            # letters clips run ~2-5 s
+    pcfg = PipelineConfig(batch_size=16, max_input_seq_length=T_TRAIN,
+                          max_target_seq_length=MAX_LABEL)
+    fe = DeviceFrontend("fbank", sr=SR, max_samples=pcfg.max_samples)
+    on_tpu = jax.default_backend() != "cpu"
+    cfg = acoustic.AcousticConfig(
+        num_layers=LAYERS, hidden_size=HIDDEN, input_dim=fe.feature_size,
+        num_labels=LABELS, compute_dtype=jnp.bfloat16, use_pallas=on_tpu,
+    )
+    scfg = step_mod.StepConfig(model=cfg, frontend=fe,
+                               use_pallas_ctc=on_tpu)
+    state = step_mod.init_train_state(jax.random.PRNGKey(0), cfg, 16, 3e-3)
+
+    audio = np.zeros((1, 16, pcfg.max_samples), np.float32)
+    alen = np.zeros((1, 16), np.int32)
+    labels = np.full((1, 16, MAX_LABEL), -1, np.int32)
+    llen = np.zeros((1, 16), np.int32)
+    for i, (text, sig) in enumerate(zip(texts, sigs)):
+        sig = sig[: pcfg.max_samples]
+        audio[0, i, : len(sig)] = sig
+        alen[0, i] = len(sig)
+        ids, n = cm.encode_padded(text, MAX_LABEL)
+        labels[0, i] = ids
+        llen[0, i] = n
+    batch_d = {
+        "audio": jnp.asarray(audio),
+        "audio_lengths": jnp.asarray(alen),
+        "labels": jnp.asarray(labels),
+        "label_lengths": jnp.asarray(llen),
+    }
+    train_fn = jax.jit(step_mod.train_step, static_argnums=0,
+                       donate_argnums=(1,))
+    key = jax.random.key(0, impl="rbg")
+    metrics = None
+    for _ in range(200):
+        state, metrics = train_fn(scfg, state, batch_d, key,
+                                  jnp.asarray(False))
+    err = float(metrics["mean_error_rate"])
+
+    bench_audio = np.zeros((batch, MAX_SAMPLES), np.float32)
+    for b in range(batch):
+        sig = sigs[b % len(sigs)]
+        reps = -(-MAX_SAMPLES // len(sig))
+        bench_audio[b] = np.tile(sig, reps)[:MAX_SAMPLES]
+    import jax.numpy as jnp2
+
+    return state["params"], jnp2.asarray(bench_audio), err
 
 
 def bench_torch_cpu() -> float:
@@ -278,6 +372,23 @@ def main() -> None:
                 result[key] = round(bench_beam(**kw), 3)
             except Exception:
                 traceback.print_exc(file=sys.stderr)
+        # Decode cost on PEAKED logits: quick-train the flagship stack to
+        # memorization on rendered letters audio, then rerun the beam
+        # benches on it (random-init logits overstate tie/merge pressure).
+        try:
+            t_params, t_audio, t_err = _trained_fixture()
+            result["trained_fixture_error_rate"] = round(t_err, 4)
+            for key, kw in [
+                ("beam8_trained_utt_per_sec", dict(beam_width=8)),
+                ("beam16_trained_utt_per_sec", dict(beam_width=16)),
+                ("beam8_lm_trained_utt_per_sec",
+                 dict(beam_width=8, with_lm=True)),
+            ]:
+                result[key] = round(
+                    bench_beam(params=t_params, audio=t_audio, **kw), 3
+                )
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
     print(json.dumps(result))
     # Supplementary detail on stderr so the JSON line stays clean.
     import sys

@@ -6,9 +6,12 @@ forward/backward over the extended-label lattice with
 ``ignore_longer_outputs_than_inputs`` handling, blank = last class.  The
 scan path dispatches T tiny (B, S) updates that each round-trip the lattice
 state through HBM; here one ``pallas_call`` walks the time grid with the
-alpha (resp. beta) row resident in VMEM scratch, streaming only the (1, B, S)
-per-step label log-probs — on a v5e this is ~20x faster at the reference's
-T=3510 shapes.
+alpha (resp. beta) row resident in VMEM scratch, streaming the per-step
+label log-probs in K-step blocks (``_time_block``): the recursion math is
+~0.1 µs of VPU work per step while a (1, B, S)-block pipeline costs ~9 µs
+of fixed per-grid-step overhead at reference shapes, so K-blocking buys
+back nearly the whole kernel. Callers pad T to a multiple of K with
+live=0 steps, which freeze alpha and zero the posteriors exactly.
 
 The posterior scatter (extended states -> vocabulary) and the softmax term
 stay outside the kernels as one big batched einsum, which is MXU work XLA
@@ -52,65 +55,71 @@ def _shift_left_lanes(x, by):
     return jnp.concatenate([x[:, by:], pad], axis=1)
 
 
-def _alpha_kernel(lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
-    lp = lp_ref[0]                                        # (B, S)
+def _time_block(B: int, S: int) -> int:
+    """Time steps processed per grid invocation.  The per-grid-step cost of
+    these kernels is dominated by fixed pipeline overhead (~9 µs/step when
+    streaming single (1, B, S) blocks at reference shapes — the math itself
+    is ~0.1 µs of VPU work), so blocking K steps per invocation amortizes
+    it ~K-fold.  K is sized so the streamed blocks stay well inside VMEM
+    even with double buffering (lp + alphas + post ~ 3 streams)."""
+    per_step = 3 * B * S * 4
+    k = max(1, min(16, (4 << 20) // max(per_step, 1)))
+    while k & (k - 1):          # round down to a power of two
+        k &= k - 1
+    return k
 
-    @pl.when(t == 0)
-    def _():
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
-        a_s[:] = jnp.where(s_idx < 2, lp, NEG_INF)
 
-    @pl.when(t > 0)
-    def _():
-        alpha = a_s[:]
-        a1 = _shift_right_lanes(alpha, 1)
-        a2 = jnp.where(skip_ref[:] > 0, _shift_right_lanes(alpha, 2), NEG_INF)
-        new = _log_add3(alpha, a1, a2) + lp
-        live = live_ref[0, 0][:, None]                    # (B, 1) float
-        a_s[:] = jnp.where(live > 0, new, alpha)          # freeze past T_b
+def _alpha_kernel(K, lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
+    i = pl.program_id(0)
+    NI = pl.num_programs(0)
 
-    alphas_ref[0] = a_s[:]
+    for k in range(K):
+        lp = lp_ref[k]                                    # (B, S)
 
-    @pl.when(t == T - 1)
+        def _update(lp=lp, k=k):
+            alpha = a_s[:]
+            a1 = _shift_right_lanes(alpha, 1)
+            a2 = jnp.where(skip_ref[:] > 0,
+                           _shift_right_lanes(alpha, 2), NEG_INF)
+            new = _log_add3(alpha, a1, a2) + lp
+            live = live_ref[k, 0][:, None]                # (B, 1) float
+            a_s[:] = jnp.where(live > 0, new, alpha)      # freeze past T_b
+
+        if k == 0:
+            @pl.when(i == 0)
+            def _(lp=lp):
+                s_idx = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
+                a_s[:] = jnp.where(s_idx < 2, lp, NEG_INF)
+
+            pl.when(i > 0)(_update)
+        else:
+            _update()
+
+        if alphas_ref is not None:
+            alphas_ref[k] = a_s[:]
+
+    @pl.when(i == NI - 1)
     def _():
         last_ref[:] = a_s[:]
 
 
-def _alpha_kernel_lossonly(lp_ref, live_ref, skip_ref, last_ref, a_s):
+def _alpha_kernel_lossonly(K, lp_ref, live_ref, skip_ref, last_ref, a_s):
     """Alpha recursion emitting only the terminal row (no residual stream)."""
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
-    lp = lp_ref[0]
-
-    @pl.when(t == 0)
-    def _():
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
-        a_s[:] = jnp.where(s_idx < 2, lp, NEG_INF)
-
-    @pl.when(t > 0)
-    def _():
-        alpha = a_s[:]
-        a1 = _shift_right_lanes(alpha, 1)
-        a2 = jnp.where(skip_ref[:] > 0, _shift_right_lanes(alpha, 2), NEG_INF)
-        new = _log_add3(alpha, a1, a2) + lp
-        live = live_ref[0, 0][:, None]
-        a_s[:] = jnp.where(live > 0, new, alpha)
-
-    @pl.when(t == T - 1)
-    def _():
-        last_ref[:] = a_s[:]
+    _alpha_kernel(K, lp_ref, live_ref, skip_ref, None, last_ref, a_s)
 
 
 def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True):
-    """lp_ext (T, B, S), live (T, 1, B) float, skip_ok (B, S) float.
-    Returns (alphas (T, B, S) or None, last (B, S))."""
+    """lp_ext (T, B, S), live (T, 1, B) float, skip_ok (B, S) float; T must
+    be a multiple of ``_time_block(B, S)`` (callers pad with live=0 steps,
+    which the freeze rule makes no-ops).  Returns (alphas (T, B, S) or
+    None, last (B, S))."""
     T, B, S = lp_ext.shape
+    K = _time_block(B, S)
+    assert T % K == 0, (T, K)
     in_specs = [
-        pl.BlockSpec((1, B, S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, B, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     cost = pl.CostEstimate(
         flops=10 * T * B * S,
@@ -119,11 +128,11 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True):
     )
     if not emit_alphas:
         (last,) = pl.pallas_call(
-            _alpha_kernel_lossonly,
-            grid=(T,),
+            functools.partial(_alpha_kernel_lossonly, K),
+            grid=(T // K,),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[jax.ShapeDtypeStruct((B, S), jnp.float32)],
             scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
@@ -131,12 +140,13 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True):
         )(lp_ext, live, skip_ok)
         return None, last
     return pl.pallas_call(
-        _alpha_kernel,
-        grid=(T,),
+        functools.partial(_alpha_kernel, K),
+        grid=(T // K,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, B, S), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, S), jnp.float32),
@@ -147,53 +157,62 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True):
     )(lp_ext, live, skip_ok)
 
 
-def _beta_post_kernel(lp_next_ref, alphas_ref, islast_ref, live_ref,
-                      skipn2_ref, beta_init_ref, beta_last_ref, logp_ref,
-                      post_ref, b_s):
-    """Reverse-time step t = T-1-i: advance beta, emit the state posterior
-    exp(alpha + beta - logP) zeroed past each row's true length."""
+def _beta_post_kernel(K, lp_ref, alphas_ref, islast_ref, live_ref,
+                      skipn2_ref, beta_init_ref, logp_ref, post_ref,
+                      bstar_s):
+    """Reverse-time steps: advance beta, emit the state posterior
+    exp(alpha + beta - logP) zeroed past each row's true length.
+
+    The carried state is ``bstar_t = beta_t + lp_t`` rather than beta
+    itself: the classic recursion needs lp at t+1, which under K-step
+    blocking would straddle block boundaries; folding lp into the carry
+    keeps every streamed input on the same reversed block map.  The t=T-1
+    base case falls out of seeding bstar with NEG_INF (no continuation
+    past the last frame) -- rows whose length is exactly T are reset to
+    beta_init by their islast flag like every other row."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        b_s[:] = beta_last_ref[:]
+        bstar_s[:] = jnp.full_like(bstar_s[:], NEG_INF)
 
-    @pl.when(i > 0)
-    def _():
-        term0 = b_s[:] + lp_next_ref[0]                   # beta_{t+1} + lp_{t+1}
+    for k in reversed(range(K)):                          # t descends
+        term0 = bstar_s[:]                                # beta_{t+1}+lp_{t+1}
         b1 = _shift_left_lanes(term0, 1)
-        b2 = jnp.where(skipn2_ref[:] > 0, _shift_left_lanes(term0, 2), NEG_INF)
+        b2 = jnp.where(skipn2_ref[:] > 0, _shift_left_lanes(term0, 2),
+                       NEG_INF)
         beta = _log_add3(term0, b1, b2)
-        islast = islast_ref[0, 0][:, None]                # (B, 1) float
-        b_s[:] = jnp.where(islast > 0, beta_init_ref[:], beta)
+        islast = islast_ref[k, 0][:, None]                # (B, 1) float
+        beta = jnp.where(islast > 0, beta_init_ref[:], beta)
+        gamma = alphas_ref[k] + beta - logp_ref[:, :1]
+        live = live_ref[k, 0][:, None]
+        post_ref[k] = jnp.exp(jnp.minimum(gamma, 0.0)) * live
+        bstar_s[:] = beta + lp_ref[k]
 
-    gamma = alphas_ref[0] + b_s[:] - logp_ref[:, :1]
-    live = live_ref[0, 0][:, None]
-    post_ref[0] = jnp.exp(jnp.minimum(gamma, 0.0)) * live
 
-
-def _posteriors_pallas(lp_ext, alphas, islast, live, skip_ok, beta_init,
-                       beta_last, logp):
-    """Returns the lattice-state posteriors (T, B, S)."""
+def _posteriors_pallas(lp_ext, alphas, islast, live, skipn2, beta_init,
+                       logp):
+    """Returns the lattice-state posteriors (T, B, S); T must be a multiple
+    of ``_time_block(B, S)`` (padded steps have live=0 and emit zeros)."""
     T, B, S = lp_ext.shape
-    rev = lambda i: (T - 1 - i, 0, 0)
-    # Step i consumes lp_ext[t+1]; clamp the unused i==0 block in range.
-    rev_next = lambda i: (jnp.minimum(T - i, T - 1), 0, 0)
+    K = _time_block(B, S)
+    assert T % K == 0, (T, K)
+    NI = T // K
+    rev = lambda i: (NI - 1 - i, 0, 0)
     (post,) = pl.pallas_call(
-        _beta_post_kernel,
-        grid=(T,),
+        functools.partial(_beta_post_kernel, K),
+        grid=(NI,),
         in_specs=[
-            pl.BlockSpec((1, B, S), rev_next, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, B), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, B), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, B, S), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((T, B, S), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
@@ -202,7 +221,7 @@ def _posteriors_pallas(lp_ext, alphas, islast, live, skip_ok, beta_init,
             bytes_accessed=3 * T * B * S * 4,
             transcendentals=5 * T * B * S,
         ),
-    )(lp_ext, alphas, islast, live, skip_ok, beta_init, beta_last, logp)
+    )(lp_ext, alphas, islast, live, skipn2, beta_init, logp)
     return post
 
 
@@ -230,14 +249,20 @@ def _split_matmul(x, onehot, spec, terms=2):
 
 
 def _lattice_inputs(log_probs, logit_lengths, labels, label_lengths, blank_id):
+    """Returns lattice streams padded in time to a multiple of the kernel
+    time block (padded steps carry live=0, which freezes the alpha
+    recursion and zeroes the posteriors — exact no-ops)."""
     T, B, V = log_probs.shape
     ext, skip_ok = _prepare(labels, blank_id, V)
     S = ext.shape[1]
+    Tp = -(-T // _time_block(B, S)) * _time_block(B, S)
+    if Tp != T:
+        log_probs = jnp.pad(log_probs, ((0, Tp - T), (0, 0), (0, 0)))
     onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)    # (B, S, V)
     lp_ext = _split_matmul(log_probs, onehot, "tbv,bsv->tbs", terms=3)
     live = (
-        jnp.arange(T)[:, None] < logit_lengths[None, :]
-    ).astype(jnp.float32)[:, None, :]                     # (T, 1, B)
+        jnp.arange(Tp)[:, None] < logit_lengths[None, :]
+    ).astype(jnp.float32)[:, None, :]                     # (Tp, 1, B)
     return ext, skip_ok.astype(jnp.float32), lp_ext, live
 
 
@@ -285,12 +310,15 @@ def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id):
 def _ctc_bwd(blank_id, residuals, g):
     (log_probs, alphas, logp, ext, skip_f, live,
      logit_lengths, label_lengths, valid) = residuals
-    T, B, V = log_probs.shape
+    T, B, V = log_probs.shape                 # log_probs is unpadded …
+    Tp = alphas.shape[0]                      # … alphas/live carry the pad
     S = ext.shape[1]
     onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)    # (B, S, V)
-    lp_ext = _split_matmul(log_probs, onehot, "tbv,bsv->tbs", terms=3)
+    lp_pad = (jnp.pad(log_probs, ((0, Tp - T), (0, 0), (0, 0)))
+              if Tp != T else log_probs)
+    lp_ext = _split_matmul(lp_pad, onehot, "tbv,bsv->tbs", terms=3)
 
-    # Terminal beta at each row's last valid frame, and at t = T-1.
+    # Terminal beta at each row's last valid frame.
     s_idx = jnp.arange(S)[None, :]
     end = (2 * label_lengths)[:, None]
     beta_init = jnp.where(
@@ -298,23 +326,21 @@ def _ctc_bwd(blank_id, residuals, g):
         0.0,
         NEG_INF,
     )
-    beta_last = jnp.where((logit_lengths == T)[:, None], beta_init, NEG_INF)
     islast = (
-        jnp.arange(T)[:, None] == (logit_lengths - 1)[None, :]
-    ).astype(jnp.float32)[:, None, :]                     # (T, 1, B)
+        jnp.arange(Tp)[:, None] == (logit_lengths - 1)[None, :]
+    ).astype(jnp.float32)[:, None, :]                     # (Tp, 1, B)
     skipn2 = jnp.concatenate(
         [skip_f[:, 2:], jnp.zeros_like(skip_f[:, :2])], axis=1
     )
 
     post = _posteriors_pallas(
-        lp_ext, alphas, islast, live, skipn2, beta_init, beta_last,
-        logp[:, None],
+        lp_ext, alphas, islast, live, skipn2, beta_init, logp[:, None],
     )
 
-    label_post = _split_matmul(post, onehot, "tbs,bsv->tbv")
+    label_post = _split_matmul(post[:T], onehot, "tbs,bsv->tbv")
     grad = jnp.exp(log_probs) - label_post
 
-    t_mask = jnp.transpose(live > 0, (0, 2, 1))           # (T, B, 1)
+    t_mask = jnp.transpose(live[:T] > 0, (0, 2, 1))       # (T, B, 1)
     grad = jnp.where(t_mask, grad, 0.0)
     grad = grad * jnp.where(valid, 1.0, 0.0)[None, :, None]
     grad = grad * g[None, :, None]

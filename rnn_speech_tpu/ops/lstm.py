@@ -173,10 +173,30 @@ def lstm_stack(
         out = out.astype(compute_dtype)
     new_states: List[LayerState] = []
     rng = dropout_rng
+
+    def apply_dropout(rng, out, keeps):
+        """One dropout site; on the Pallas path adjacent sites fuse into a
+        single in-kernel-PRNG stream pass (see ops/dropout_pallas.py)."""
+        keeps = [p for p in keeps if p < 1.0]
+        if rng is None or not keeps:
+            return rng, out
+        rng, sub = jax.random.split(rng)
+        if use_pallas:
+            from rnn_speech_tpu.ops import dropout_pallas
+
+            return rng, dropout_pallas.dropout_pallas(sub, out, keeps)
+        for keep in keeps:
+            sub, k = jax.random.split(sub)
+            out = _dropout(k, out, keep)
+        return rng, out
+
     for idx, (params, state) in enumerate(zip(layers, states)):
-        if rng is not None and input_keep_prob < 1.0:
-            rng, sub = jax.random.split(rng)
-            out = _dropout(sub, out, input_keep_prob)
+        # The output dropout of layer idx-1 and the input dropout of layer
+        # idx are back-to-back elementwise passes; hand them to the site
+        # as one fused application.
+        keeps = [output_keep_prob] if idx > 0 else []
+        keeps.append(input_keep_prob)
+        rng, out = apply_dropout(rng, out, keeps)
 
         if use_pallas:
             from rnn_speech_tpu.ops import lstm_pallas
@@ -196,9 +216,7 @@ def lstm_stack(
             out = out.astype(compute_dtype)
         new_states.append(state)
 
-        if rng is not None and output_keep_prob < 1.0:
-            rng, sub = jax.random.split(rng)
-            out = _dropout(sub, out, output_keep_prob)
+    rng, out = apply_dropout(rng, out, [output_keep_prob])
     return out, new_states
 
 

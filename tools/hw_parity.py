@@ -171,12 +171,42 @@ def check_beam() -> None:
     print("beam search vs host oracle on hardware: OK")
 
 
+def check_dropout() -> None:
+    """Statistical properties of the fused in-kernel-PRNG dropout that the
+    CPU interpret mode cannot see (its PRNG stub yields all-zero bits):
+    keep fraction, unbiasedness, key sensitivity, and the backward's
+    regenerated mask matching the forward's zero pattern exactly."""
+    from rnn_speech_tpu.ops.dropout_pallas import dropout_pallas
+
+    x = jnp.ones((2000, 1024), jnp.float32) * 2.0
+    key = jax.random.PRNGKey(42)
+    out = np.asarray(dropout_pallas(key, x, [0.8]))
+    keep_frac = (out != 0).mean()
+    assert abs(keep_frac - 0.8) < 0.005, keep_frac
+    assert abs(out.mean() - 2.0) < 0.02, out.mean()
+    assert set(np.unique(out)) <= {0.0, np.float32(2.0 / 0.8)}, "support"
+
+    out_b = np.asarray(dropout_pallas(jax.random.PRNGKey(43), x, [0.8]))
+    assert (out != out_b).mean() > 0.2, "masks must differ across keys"
+
+    # two fused masks compose: keep fraction ~ k1*k2
+    out2 = np.asarray(dropout_pallas(key, x, [0.8, 0.5]))
+    assert abs((out2 != 0).mean() - 0.4) < 0.005
+
+    # backward regenerates the identical mask
+    g = np.asarray(jax.grad(
+        lambda v: dropout_pallas(key, v, [0.8]).sum())(x))
+    np.testing.assert_array_equal(g != 0, out != 0)
+    print("fused dropout statistics + VJP mask identity on hardware: OK")
+
+
 def main() -> int:
     print(f"devices: {jax.devices()}")
     check_lstm()
     check_ctc()
     check_frontend()
     check_beam()
+    check_dropout()
     print("ALL HARDWARE PARITY CHECKS PASSED")
     return 0
 

@@ -507,6 +507,30 @@ def _lstm_recurrence_bwd_recompute(dout, x_rd, hprev_seq, c_seq, c_prev_seq,
 
 # ------------------------------------------------------------- custom VJP
 
+def _weight_grads(h_prev_seq, x, dgates, cd):
+    """(dw_h, dw_x, db) from the emitted dgates: one fused Pallas pass by
+    default (streams dgates once, VMEM-resident f32 accumulators — see
+    ops/grad_matmul_pallas.py), with the three-einsum XLA form kept behind
+    ``RST_FUSED_WGRAD=0`` for A/B measurement."""
+    import os
+
+    if os.environ.get("RST_FUSED_WGRAD", "1") != "0":
+        from rnn_speech_tpu.ops.grad_matmul_pallas import dgates_weight_grads
+
+        return dgates_weight_grads(h_prev_seq, x, dgates, compute_dtype=cd)
+    dg_c = dgates.astype(cd)
+    dw_h = jnp.einsum(
+        "tbh,tbg->hg", h_prev_seq.astype(cd), dg_c,
+        preferred_element_type=jnp.float32,
+    )
+    dw_x = jnp.einsum(
+        "tbd,tbg->dg", x.astype(cd), dg_c,
+        preferred_element_type=jnp.float32,
+    )
+    db = jnp.sum(dgates, axis=(0, 1), dtype=jnp.float32)
+    return dw_h, dw_x, db
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _lstm_core(w_x, w_h, b, x, mask, c0, h0, cd, rd):
     """Fused LSTM layer. Returns (out (T, B, H), cn, hn); ``mask`` is the
@@ -554,18 +578,11 @@ def _lstm_core_bwd(cd, rd, residuals, cotangents):
     h_prev_seq = jnp.concatenate(
         [h0.astype(jnp.float32)[None], out[:-1]], axis=0
     )
-    dg_c = dgates.astype(cd)
-    dw_h = jnp.einsum(
-        "tbh,tbg->hg", h_prev_seq.astype(cd), dg_c,
-        preferred_element_type=jnp.float32,
-    ).astype(w_h.dtype)
-    dw_x = jnp.einsum(
-        "tbd,tbg->dg", x.astype(cd), dg_c,
-        preferred_element_type=jnp.float32,
-    ).astype(w_x.dtype)
-    db = jnp.sum(dgates, axis=(0, 1), dtype=jnp.float32)
+    dw_h, dw_x, db = _weight_grads(h_prev_seq, x, dgates, cd)
+    dw_h = dw_h.astype(w_h.dtype)
+    dw_x = dw_x.astype(w_x.dtype)
     dx = jnp.einsum(
-        "tbg,dg->tbd", dg_c, w_x.astype(cd),
+        "tbg,dg->tbd", dgates.astype(cd), w_x.astype(cd),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     return (dw_x, dw_h, db, dx, jnp.zeros_like(mask), dc0.astype(c0.dtype),
@@ -619,18 +636,11 @@ def _lstm_core_recompute_bwd(cd, rd, residuals, cotangents):
         w_h.astype(cd), dhn, dcn,
     )
 
-    dg_c = dgates.astype(cd)
-    dw_h = jnp.einsum(
-        "tbh,tbg->hg", h_prev_seq.astype(cd), dg_c,
-        preferred_element_type=jnp.float32,
-    ).astype(w_h.dtype)
-    dw_x = jnp.einsum(
-        "tbd,tbg->dg", x_rd.astype(cd), dg_c,
-        preferred_element_type=jnp.float32,
-    ).astype(w_x.dtype)
-    db = jnp.sum(dgates, axis=(0, 1), dtype=jnp.float32)
+    dw_h, dw_x, db = _weight_grads(h_prev_seq, x_rd, dgates, cd)
+    dw_h = dw_h.astype(w_h.dtype)
+    dw_x = dw_x.astype(w_x.dtype)
     dx = jnp.einsum(
-        "tbg,dg->tbd", dg_c, w_x.astype(cd),
+        "tbg,dg->tbd", dgates.astype(cd), w_x.astype(cd),
         preferred_element_type=jnp.float32,
     ).astype(x_token.dtype)
     return (dw_x, dw_h, db, dx, jnp.zeros_like(mask), dc0.astype(c0.dtype),

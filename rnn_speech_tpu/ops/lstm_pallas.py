@@ -15,10 +15,12 @@ fused recurrence serves training.  The forward-for-grad kernel additionally
 streams out the activated gates and the carried cell sequence (the cuDNN
 residual strategy); the backward kernel walks the grid in *reverse* time
 with the dh/dc carries living in VMEM scratch and W_h resident, emitting
-per-step pre-activation gate gradients.  The weight/input gradients then
-reduce to three large MXU matmuls outside the kernel:
-    dW_h = h_prev^T · dgates,  dW_x = x^T · dgates,  dx = dgates · W_x^T
-so no (H, 4H) accumulator ever competes for VMEM with the weights.
+per-step pre-activation gate gradients.  The weight/bias gradients
+    dW_h = h_prev^T · dgates,  dW_x = x^T · dgates,  db = Σ dgates
+then reduce in ONE fused Pallas pass over the dgates stream
+(ops/grad_matmul_pallas.py — a separate kernel, so no (H, 4H) accumulator
+ever competes for VMEM with the recurrence weights), and dx = dgates ·
+W_x^T stays a large M-major MXU matmul XLA handles well.
 
 Residual precision is selectable (``residual_dtype``): when the layer
 computes in bfloat16 the streamed residuals — activated gates, cell

@@ -200,6 +200,32 @@ def check_dropout() -> None:
     print("fused dropout statistics + VJP mask identity on hardware: OK")
 
 
+def check_grad_matmul() -> None:
+    """Fused dW/db contraction vs the einsum forms on hardware (bf16
+    operands, f32 accumulation on both sides)."""
+    from rnn_speech_tpu.ops.grad_matmul_pallas import dgates_weight_grads
+
+    T, B, H, D, G = 96, 8, 256, 120, 1024
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    h = jax.random.normal(ks[0], (T, B, H), jnp.float32)
+    x = jax.random.normal(ks[1], (T, B, D), jnp.float32)
+    dg = jax.random.normal(ks[2], (T, B, G), jnp.float32)
+    dwh, dwx, db = jax.jit(dgates_weight_grads)(h, x, dg)
+    bf = jnp.bfloat16
+    rwh = jnp.einsum("tbh,tbg->hg", h.astype(bf), dg.astype(bf),
+                     preferred_element_type=jnp.float32)
+    rwx = jnp.einsum("tbd,tbg->dg", x.astype(bf), dg.astype(bf),
+                     preferred_element_type=jnp.float32)
+    rdb = jnp.sum(dg.astype(bf).astype(jnp.float32), axis=(0, 1))
+    np.testing.assert_allclose(np.asarray(dwh), np.asarray(rwh),
+                               rtol=3e-2, atol=3e-1)
+    np.testing.assert_allclose(np.asarray(dwx), np.asarray(rwx),
+                               rtol=3e-2, atol=3e-1)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(rdb),
+                               rtol=1e-3, atol=1e-2)
+    print("fused weight-grad contraction vs einsums on hardware: OK")
+
+
 def main() -> int:
     print(f"devices: {jax.devices()}")
     check_lstm()
@@ -207,6 +233,7 @@ def main() -> int:
     check_frontend()
     check_beam()
     check_dropout()
+    check_grad_matmul()
     print("ALL HARDWARE PARITY CHECKS PASSED")
     return 0
 

@@ -15,6 +15,7 @@ compose with it directly.  Time-major (T, B, D) layout throughout.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -109,6 +110,38 @@ def stack_frames(
     return x, -(-seq_lengths // n)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _dense(h, w, b, cd):
+    """x·W + b with the weight/bias gradients computed by the fused Pallas
+    contraction (ops/grad_matmul_pallas.py) instead of XLA's tall-k
+    reduction einsums — the input and output projections share the LSTM
+    backward's dominant reduction shape (N = T*B rows).  Primal is
+    byte-identical to the plain dot; only the VJP routing changes."""
+    return (
+        jnp.dot(h.astype(cd), w.astype(cd), preferred_element_type=jnp.float32)
+        + b
+    )
+
+
+def _dense_fwd(h, w, b, cd):
+    # Zero-size token carries b's dtype for the cotangent cast.
+    return _dense(h, w, b, cd), (h, w, jnp.zeros((0,), b.dtype))
+
+
+def _dense_bwd(cd, residuals, g):
+    from rnn_speech_tpu.ops.grad_matmul_pallas import weight_grad
+
+    h, w, b_token = residuals
+    dh = jnp.dot(
+        g.astype(cd), w.astype(cd).T, preferred_element_type=jnp.float32
+    ).astype(h.dtype)
+    dw, db = weight_grad(h, g, compute_dtype=cd)
+    return dh, dw.astype(w.dtype), db.astype(b_token.dtype)
+
+
+_dense.defvjp(_dense_fwd, _dense_bwd)
+
+
 def forward(
     params: Params,
     cfg: AcousticConfig,
@@ -128,11 +161,12 @@ def forward(
     if cfg.frame_stack > 1:
         inputs, seq_lengths = stack_frames(inputs, seq_lengths, cfg.frame_stack)
     cd = cfg.compute_dtype
-    x = (
-        jnp.dot(inputs.astype(cd), params["input"]["w"].astype(cd),
-                preferred_element_type=jnp.float32)
-        + params["input"]["b"]
+    dense = _dense if cfg.use_pallas else (
+        lambda h, w, b, cd: jnp.dot(
+            h.astype(cd), w.astype(cd), preferred_element_type=jnp.float32
+        ) + b
     )
+    x = dense(inputs, params["input"]["w"], params["input"]["b"], cd)
     if cfg.normalization:
         x = _batch_norm(x)
 
@@ -148,11 +182,7 @@ def forward(
         residual_mode=cfg.residual_mode,
     )
 
-    logits = (
-        jnp.dot(hidden.astype(cd), params["output"]["w"].astype(cd),
-                preferred_element_type=jnp.float32)
-        + params["output"]["b"]
-    )
+    logits = dense(hidden, params["output"]["w"], params["output"]["b"], cd)
     return logits, new_states
 
 

@@ -49,12 +49,16 @@ def _grad_kernel(h_ref, x_ref, dg_ref, dwh_ref, dwx_ref, db_ref):
         dwx_ref[:] = jnp.zeros_like(dwx_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
+    # dg streams in its caller dtype; the MXU contraction casts per block
+    # while db accumulates from the unrounded values (an f32 cotangent
+    # must not pick up bf16 rounding in the bias gradient).
     dg = dg_ref[:]
+    dg_c = dg.astype(h_ref.dtype)
     contract0 = (((0,), (0,)), ((), ()))
     dwh_ref[:] += jax.lax.dot_general(
-        h_ref[:], dg, contract0, preferred_element_type=jnp.float32)
+        h_ref[:], dg_c, contract0, preferred_element_type=jnp.float32)
     dwx_ref[:] += jax.lax.dot_general(
-        x_ref[:], dg, contract0, preferred_element_type=jnp.float32)
+        x_ref[:], dg_c, contract0, preferred_element_type=jnp.float32)
     db_ref[:] += jnp.sum(dg.astype(jnp.float32), axis=0, keepdims=True)
 
 
@@ -63,6 +67,74 @@ def _pick_chunk(n: int) -> int:
         if n % c == 0:
             return c
     return 0            # pad to the default chunk
+
+
+def _single_grad_kernel(x_ref, dg_ref, dw_ref, db_ref):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dg = dg_ref[:]
+    dw_ref[:] += jax.lax.dot_general(
+        x_ref[:], dg.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[:] += jnp.sum(dg.astype(jnp.float32), axis=0, keepdims=True)
+
+
+def weight_grad(
+    x: jnp.ndarray,               # (..., D)
+    dg: jnp.ndarray,              # (..., G)
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(dw (D, G) f32, db (G,) f32) = xᵀ·dg, Σ dg in one fused pass —
+    the single-matrix sibling of :func:`dgates_weight_grads` (used for the
+    output projection, where G is the label count)."""
+    cd = jnp.dtype(compute_dtype)
+    D, G = x.shape[-1], dg.shape[-1]
+    x2 = x.reshape(-1, D).astype(cd)
+    dg2 = dg.reshape(-1, G)
+    n = x2.shape[0]
+    nc = _pick_chunk(n)
+    if nc == 0:
+        nc = min(_N_CHUNK, max(8, n))
+        pad = -(-n // nc) * nc - n
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        dg2 = jnp.pad(dg2, ((0, pad), (0, 0)))
+        n = n + pad
+    gt = _G_TILE if G % _G_TILE == 0 else G
+    dw, db = pl.pallas_call(
+        _single_grad_kernel,
+        grid=(G // gt, n // nc),
+        in_specs=[
+            pl.BlockSpec((nc, D), lambda g, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, gt), lambda g, i: (i, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((D, gt), lambda g, i: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt), lambda g, i: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, G), jnp.float32),
+            jax.ShapeDtypeStruct((1, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * D * G,
+            bytes_accessed=n * (D + G) * cd.itemsize + 4 * (D + 1) * G,
+            transcendentals=0,
+        ),
+    )(x2, dg2)
+    return dw, db[0]
 
 
 def dgates_weight_grads(
@@ -81,7 +153,10 @@ def dgates_weight_grads(
     G = dgates.shape[-1]
     h2 = h_prev.reshape(-1, H).astype(cd)
     x2 = x.reshape(-1, D).astype(cd)
-    dg2 = dgates.reshape(-1, G).astype(cd)
+    # dgates keeps its dtype: in the LSTM path it already arrives in the
+    # residual dtype, and an f32 cotangent must stay f32 for db (the
+    # kernel casts it per block for the MXU contractions only).
+    dg2 = dgates.reshape(-1, G)
     n = h2.shape[0]
     nc = _pick_chunk(n)
     if nc == 0:

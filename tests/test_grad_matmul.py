@@ -15,7 +15,9 @@ def _reference(h, x, dg, cd=jnp.bfloat16):
                      preferred_element_type=jnp.float32)
     dwx = jnp.einsum("nd,ng->dg", x.reshape(-1, x.shape[-1]).astype(cd), dgc,
                      preferred_element_type=jnp.float32)
-    db = jnp.sum(dgc.astype(jnp.float32), axis=0)
+    # db sums the UNROUNDED dg: the kernel streams dg in its caller dtype
+    # and only casts for the MXU contractions.
+    db = jnp.sum(dg.reshape(-1, dg.shape[-1]).astype(jnp.float32), axis=0)
     return dwh, dwx, db
 
 
@@ -39,6 +41,49 @@ def test_matches_einsums(shape):
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(db), np.asarray(rdb),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_single_weight_grad():
+    from rnn_speech_tpu.ops.grad_matmul_pallas import weight_grad
+
+    T, B, D, G = 10, 3, 256, 80          # G=80: the label-count shape
+    ks = jax.random.split(jax.random.PRNGKey(2), 2)
+    x = jax.random.normal(ks[0], (T, B, D), jnp.float32)
+    dg = jax.random.normal(ks[1], (T, B, G), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        dw, db = weight_grad(x, dg)
+    _, rwx, rdb = _reference(x, x, dg)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(rwx),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(rdb),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dense_vjp_matches_plain_path():
+    """acoustic._dense (fused weight grads) == the plain dot under grad."""
+    from rnn_speech_tpu.models import acoustic
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    h = jax.random.normal(ks[0], (12, 4, 128), jnp.float32)
+    w = jax.random.normal(ks[1], (128, 256), jnp.float32) * 0.1
+    b = jax.random.normal(ks[2], (256,), jnp.float32) * 0.1
+    co = jax.random.normal(ks[3], (12, 4, 256), jnp.float32)
+
+    def plain(h, w, b):
+        y = jnp.dot(h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + b
+        return jnp.sum(y * co)
+
+    def fused(h, w, b):
+        return jnp.sum(acoustic._dense(h, w, b, jnp.bfloat16) * co)
+
+    with pltpu.force_tpu_interpret_mode():
+        fy, fg = jax.value_and_grad(fused, argnums=(0, 1, 2))(h, w, b)
+    py, pg = jax.value_and_grad(plain, argnums=(0, 1, 2))(h, w, b)
+    np.testing.assert_allclose(float(fy), float(py), rtol=1e-6)
+    for f, p, tol in zip(fg, pg, (5e-2, 5e-2, 1e-3)):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(p),
+                                   rtol=tol, atol=tol)
 
 
 def test_f32_compute_dtype_exact():

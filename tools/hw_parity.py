@@ -216,7 +216,7 @@ def check_grad_matmul() -> None:
                      preferred_element_type=jnp.float32)
     rwx = jnp.einsum("tbd,tbg->dg", x.astype(bf), dg.astype(bf),
                      preferred_element_type=jnp.float32)
-    rdb = jnp.sum(dg.astype(bf).astype(jnp.float32), axis=(0, 1))
+    rdb = jnp.sum(dg, axis=(0, 1), dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(dwh), np.asarray(rwh),
                                rtol=3e-2, atol=3e-1)
     np.testing.assert_allclose(np.asarray(dwx), np.asarray(rwx),

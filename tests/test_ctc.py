@@ -287,3 +287,37 @@ def test_pallas_loss_only_matches_grad_path(small_case):
             lambda lg: jnp.sum(ctc_pallas.ctc_loss(lg, *args[1:]))
         )(args[0])
     np.testing.assert_allclose(float(jnp.sum(primal)), float(value), rtol=1e-6)
+
+
+def test_pallas_blocked_time_edges():
+    """K-blocked kernels at exact block-boundary lengths: T a multiple of
+    the time block (no padding) and row lengths landing exactly on and
+    around block boundaries; loss+grad vs the scan reference."""
+    from jax.experimental.pallas import tpu as pltpu
+    ctc_pallas = _pallas_ctc()
+    from rnn_speech_tpu.ops.ctc_pallas import _time_block
+
+    rng = np.random.default_rng(11)
+    T, B, V, L = 32, 4, 6, 5
+    K = _time_block(B, 2 * L + 1)
+    assert T % K == 0, (T, K)     # the no-padding path must be exercised
+    logits = jnp.asarray(rng.normal(0, 1.5, (T, B, V)).astype(np.float32))
+    logit_lengths = jnp.asarray(np.array([32, 16, 17, 31], np.int32))
+    labels = jnp.asarray(rng.integers(0, V - 1, (B, L)).astype(np.int32))
+    label_lengths = jnp.asarray(np.array([5, 4, 3, 2], np.int32))
+
+    w = jnp.array([1.0, 2.0, 3.0, 4.0])
+
+    def total(fn, lg):
+        return jnp.sum(fn(lg, logit_lengths, labels, label_lengths) * w)
+
+    ref_loss = ctc.ctc_loss(logits, logit_lengths, labels, label_lengths)
+    ref_grad = jax.grad(lambda lg: total(ctc.ctc_loss, lg))(logits)
+    with pltpu.force_tpu_interpret_mode():
+        pal_loss = ctc_pallas.ctc_loss(logits, logit_lengths, labels,
+                                       label_lengths)
+        pal_grad = jax.grad(lambda lg: total(ctc_pallas.ctc_loss, lg))(logits)
+    np.testing.assert_allclose(np.asarray(pal_loss), np.asarray(ref_loss),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pal_grad), np.asarray(ref_grad),
+                               rtol=1e-4, atol=1e-5)

@@ -40,7 +40,7 @@ _N_CHUNK = 512
 _G_TILE = 1024
 
 
-def _grad_kernel(h_ref, x_ref, dg_ref, dwh_ref, dwx_ref, db_ref):
+def _grad_kernel(cd, h_ref, x_ref, dg_ref, dwh_ref, dwx_ref, db_ref):
     n = pl.program_id(1)
 
     @pl.when(n == 0)
@@ -49,11 +49,13 @@ def _grad_kernel(h_ref, x_ref, dg_ref, dwh_ref, dwx_ref, db_ref):
         dwx_ref[:] = jnp.zeros_like(dwx_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
-    # dg streams in its caller dtype; the MXU contraction casts per block
-    # while db accumulates from the unrounded values (an f32 cotangent
-    # must not pick up bf16 rounding in the bias gradient).
+    # h/x arrive pre-cast to the compute dtype (halving their VMEM blocks
+    # buys a longer N chunk, which amortizes per-grid-step overhead better
+    # than saving their one-off cast pass).  dg keeps its caller dtype:
+    # db must accumulate the UNROUNDED cotangent, and in the LSTM path
+    # dgates is already in the residual dtype anyway.
     dg = dg_ref[:]
-    dg_c = dg.astype(h_ref.dtype)
+    dg_c = dg.astype(cd)
     contract0 = (((0,), (0,)), ((), ()))
     dwh_ref[:] += jax.lax.dot_general(
         h_ref[:], dg_c, contract0, preferred_element_type=jnp.float32)
@@ -62,14 +64,24 @@ def _grad_kernel(h_ref, x_ref, dg_ref, dwh_ref, dwx_ref, db_ref):
     db_ref[:] += jnp.sum(dg.astype(jnp.float32), axis=0, keepdims=True)
 
 
-def _pick_chunk(n: int) -> int:
+def _pick_chunk(n: int, bytes_per_row: int, acc_bytes: int) -> int:
+    """Largest divisor-of-n chunk whose double-buffered streamed blocks fit
+    the VMEM budget next to the resident accumulators; 0 -> caller pads."""
+    budget = (14 << 20) - acc_bytes
+    cap = max(8, min(_N_CHUNK, budget // (2 * bytes_per_row)))
     for c in (512, 480, 448, 416, 384, 320, 256, 192, 128, 64, 32, 16, 8):
-        if n % c == 0:
+        if c <= cap and n % c == 0:
             return c
-    return 0            # pad to the default chunk
+    return 0            # pad to the capped default chunk
 
 
-def _single_grad_kernel(x_ref, dg_ref, dw_ref, db_ref):
+def _padded_chunk(n: int, bytes_per_row: int, acc_bytes: int) -> int:
+    budget = (14 << 20) - acc_bytes
+    cap = max(8, min(_N_CHUNK, budget // (2 * bytes_per_row)))
+    return (cap // 8) * 8
+
+
+def _single_grad_kernel(cd, x_ref, dg_ref, dw_ref, db_ref):
     n = pl.program_id(1)
 
     @pl.when(n == 0)
@@ -79,7 +91,7 @@ def _single_grad_kernel(x_ref, dg_ref, dw_ref, db_ref):
 
     dg = dg_ref[:]
     dw_ref[:] += jax.lax.dot_general(
-        x_ref[:], dg.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
+        x_ref[:], dg.astype(cd), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     db_ref[:] += jnp.sum(dg.astype(jnp.float32), axis=0, keepdims=True)
 
@@ -98,16 +110,18 @@ def weight_grad(
     x2 = x.reshape(-1, D).astype(cd)
     dg2 = dg.reshape(-1, G)
     n = x2.shape[0]
-    nc = _pick_chunk(n)
+    gt = _G_TILE if G % _G_TILE == 0 else G
+    bpr = D * x2.dtype.itemsize + gt * dg2.dtype.itemsize
+    acc = 4 * (D + 1) * gt
+    nc = _pick_chunk(n, bpr, acc)
     if nc == 0:
-        nc = min(_N_CHUNK, max(8, n))
+        nc = _padded_chunk(n, bpr, acc)
         pad = -(-n // nc) * nc - n
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
         dg2 = jnp.pad(dg2, ((0, pad), (0, 0)))
         n = n + pad
-    gt = _G_TILE if G % _G_TILE == 0 else G
     dw, db = pl.pallas_call(
-        _single_grad_kernel,
+        functools.partial(_single_grad_kernel, cd),
         grid=(G // gt, n // nc),
         in_specs=[
             pl.BlockSpec((nc, D), lambda g, i: (i, 0),
@@ -130,7 +144,9 @@ def weight_grad(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * D * G,
-            bytes_accessed=n * (D + G) * cd.itemsize + 4 * (D + 1) * G,
+            bytes_accessed=n * (D * x2.dtype.itemsize
+                                + G * dg2.dtype.itemsize)
+            + 4 * (D + 1) * G,
             transcendentals=0,
         ),
     )(x2, dg2)
@@ -153,23 +169,23 @@ def dgates_weight_grads(
     G = dgates.shape[-1]
     h2 = h_prev.reshape(-1, H).astype(cd)
     x2 = x.reshape(-1, D).astype(cd)
-    # dgates keeps its dtype: in the LSTM path it already arrives in the
-    # residual dtype, and an f32 cotangent must stay f32 for db (the
-    # kernel casts it per block for the MXU contractions only).
     dg2 = dgates.reshape(-1, G)
     n = h2.shape[0]
-    nc = _pick_chunk(n)
+    gt = _G_TILE if G % _G_TILE == 0 else G
+    bpr = (H * h2.dtype.itemsize + D * x2.dtype.itemsize
+           + gt * dg2.dtype.itemsize)
+    acc = 4 * (H + D + 1) * gt
+    nc = _pick_chunk(n, bpr, acc)
     if nc == 0:
-        nc = min(_N_CHUNK, max(8, n))
+        nc = _padded_chunk(n, bpr, acc)
         pad = -(-n // nc) * nc - n
         h2 = jnp.pad(h2, ((0, pad), (0, 0)))
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
         dg2 = jnp.pad(dg2, ((0, pad), (0, 0)))
         n = n + pad
-    gt = _G_TILE if G % _G_TILE == 0 else G
     grid = (G // gt, n // nc)
     dwh, dwx, db = pl.pallas_call(
-        _grad_kernel,
+        functools.partial(_grad_kernel, cd),
         grid=grid,
         in_specs=[
             pl.BlockSpec((nc, H), lambda g, i: (i, 0),
@@ -197,7 +213,9 @@ def dgates_weight_grads(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * (H + D) * G,
-            bytes_accessed=(n * (H + D + G)) * cd.itemsize
+            bytes_accessed=n * (H * h2.dtype.itemsize
+                                + D * x2.dtype.itemsize
+                                + G * dg2.dtype.itemsize)
             + 4 * (H + D + 1) * G,
             transcendentals=0,
         ),

@@ -190,8 +190,6 @@ def _beam_scan(
     chars = jnp.arange(V, dtype=jnp.int32)
     mult1 = np.int32(_HASH_MULT)
     mult2 = np.int32(_HASH_MULT2)
-    C = K * (V + 1)
-    arange_c = jnp.arange(C, dtype=jnp.int32)
     arange_k = jnp.arange(K, dtype=jnp.int32)
 
     def _sel_k(field, sel_p):
@@ -236,19 +234,32 @@ def _beam_scan(
             & (state.phash2[:, :, None] == state.hash2[:, None, :])
             & state.has_par[:, :, None]
         )                                               # (B, i=K, j=K)
-        # ext_pnb value at (j, last_i): one-hot select over V, exact.
-        ext_at_last = jnp.sum(
-            jnp.where(last_oh[:, :, None, :], ext_pnb[:, None, :, :], 0.0),
-            axis=-1,
+        # ext_pnb value at (j, last_i), reconstructed algebraically from
+        # (B, K)-sized pieces instead of materializing a (B, K, K, V)
+        # broadcast: extend(j, c) scores (c == last_j ? p_b_j : total_j)
+        # + lp_t[c]; at c = last_i that is last_eq-selected.  last_i can be
+        # blank only for empty/dead beams (init.last = blank), where the
+        # original one-hot hit ext_pnb's blank column = NEG_INF — mask it.
+        last_eq = state.last[:, :, None] == state.last[:, None, :]  # (B,i,j)
+        ext_at_last = jnp.where(
+            (state.last == blank_id)[:, :, None],
+            NEG_INF,
+            jnp.where(last_eq, state.p_b[:, None, :], total[:, None, :])
+            + lp_last[:, :, None],
         )                                               # (B, i, j)
         contrib = jnp.max(
             jnp.where(match, ext_at_last, NEG_INF), axis=-1
         )                                               # (B, i)
         stay_pnb = jnp.logaddexp(stay_pnb, contrib)
         # Kill the merged extend candidates so they are not double-counted.
-        kill = jnp.any(
-            match[:, :, :, None] & last_oh[:, :, None, :], axis=1
-        )                                               # (B, j, V)
+        # kill(j, c) = any_i match(i, j) & last_i == c, as a 0/1 matmul over
+        # i (counts <= K are exact in any float dtype) instead of reducing
+        # a (B, K, K, V) broadcast.
+        kill = jnp.einsum(
+            "bij,biv->bjv",
+            match.astype(jnp.float32), last_oh.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) > 0.5                                         # (B, j, V)
         ext_pnb = jnp.where(kill, NEG_INF, ext_pnb)
 
         # --- flatten + top-K --------------------------------------------
@@ -280,9 +291,6 @@ def _beam_scan(
         char = jnp.where(is_stay, -1, (top_idx - K) % V)
 
         # Gather-free field selection (exact, ints and floats alike).
-        sel_c = top_idx[:, :, None] == arange_c[None, None, :]   # (B, K, C)
-        new_pb = _select_rows(cand_pb, sel_c)
-        new_pnb = _select_rows(cand_pnb, sel_c)
         sel_p = parent[:, :, None] == arange_k[None, None, :]    # (B, K, K)
         h_par = _select_rows(state.hash, sel_p)
         h2_par = _select_rows(state.hash2, sel_p)
@@ -290,6 +298,37 @@ def _beam_scan(
         ph2_par = _select_rows(state.phash2, sel_p)
         hp_par = _select_rows(state.has_par, sel_p) > 0
         last_par = _select_rows(state.last, sel_p)
+
+        # Selected candidate scores, rebuilt exactly from (B, K)-sized
+        # selections rather than a (B, K, C) one-hot over the flattened
+        # candidate table: stay slots carry (stay_pb, merged stay_pnb) at
+        # their parent; extend slots carry pb = NEG_INF and
+        # pnb = (char == last_par ? p_b_par : total_par) + lp_t[char],
+        # NEG_INF'd when the candidate was blank-masked or merge-killed.
+        stay_pb_sel = _select_rows(stay_pb, sel_p)
+        stay_pnb_sel = _select_rows(stay_pnb, sel_p)
+        pb_par = _select_rows(state.p_b, sel_p)
+        total_par = _select_rows(total, sel_p)
+        char_sel = jnp.where(is_stay, 0, char)
+        char_oh_sel = char_sel[:, :, None] == chars[None, None, :]
+        lp_char = jnp.sum(jnp.where(char_oh_sel, lp_t[:, None, :], 0.0),
+                          axis=-1)                                # (B, K)
+        ext_val = (
+            jnp.where(char_sel == last_par, pb_par, total_par) + lp_char
+        )
+        # killed(k) = any_i match(i, parent_k) & last_i == char_k — the
+        # same merge-kill as above, evaluated only at the selected slots.
+        match_par = jnp.sum(
+            jnp.where(sel_p[:, :, None, :], match[:, None, :, :], False),
+            axis=-1,
+        ) > 0                                           # (B, K_out, i=K)
+        last_eq_char = state.last[:, None, :] == char_sel[:, :, None]
+        killed = jnp.any(match_par & last_eq_char, axis=-1)
+        ext_pnb_sel = jnp.where(
+            killed | (char_sel == blank_id), NEG_INF, ext_val
+        )
+        new_pb = jnp.where(is_stay, stay_pb_sel, NEG_INF)
+        new_pnb = jnp.where(is_stay, stay_pnb_sel, ext_pnb_sel)
 
         dead = jnp.logaddexp(new_pb, new_pnb) <= NEG_INF / 2
         new = BeamState(

@@ -211,14 +211,17 @@ import functools
 
 @functools.lru_cache(maxsize=8)
 def _make_infer(model_cfg, beam_width: int, lm, lm_weight: float,
-                mesh=None):
+                mesh=None, fe=None):
     """Build (and cache) the jitted forward+decode program — a fresh jit
     wrapper per call would recompile the whole AM + beam search for every
     evaluation batch.
 
-    With ``mesh`` the program shards batch rows over every mesh device
-    (decode is row-independent, so this is pure data parallelism — the
-    pod-scale analogue of the reference's single-device evaluate_full,
+    With ``fe`` the program takes RAW AUDIO rows and featurizes on device
+    inside the same jit: no per-batch feature tensor ever round-trips
+    through the host, and on a mesh each device featurizes only its own
+    rows.  With ``mesh`` the program shards batch rows over every mesh
+    device (decode is row-independent, so this is pure data parallelism —
+    the pod-scale analogue of the reference's single-device evaluate_full,
     /root/reference/models/AcousticModel.py:723-777) and returns
     replicated outputs every process can read."""
     import jax
@@ -227,7 +230,13 @@ def _make_infer(model_cfg, beam_width: int, lm, lm_weight: float,
     from rnn_speech_tpu.models import acoustic
     from rnn_speech_tpu.ops import decode
 
-    def infer_fn(params, feats_bm, frame_lengths, row_uid):
+    def infer_fn(params, rows, row_lengths, row_uid):
+        if fe is not None:
+            from rnn_speech_tpu.ops.frontend_jax import featurize
+
+            feats_bm, frame_lengths = featurize(fe, rows, row_lengths)
+        else:
+            feats_bm, frame_lengths = rows, row_lengths
         states = acoustic.zero_state(model_cfg, feats_bm.shape[0])
         logits, _ = acoustic.forward(
             params, model_cfg, jnp.transpose(feats_bm, (1, 0, 2)),
@@ -419,7 +428,6 @@ def evaluate(config, prog, char_map) -> int:
     import jax.numpy as jnp
 
     from rnn_speech_tpu import corpus
-    from rnn_speech_tpu.ops.frontend_jax import featurize
     from rnn_speech_tpu.parallel import mesh as mesh_mod
     from rnn_speech_tpu.train import metrics as metrics_mod
     from rnn_speech_tpu.train import pipeline as pipe_mod
@@ -444,9 +452,21 @@ def evaluate(config, prog, char_map) -> int:
     model = (prog["mesh_model"] if prog["mesh_model"] is not None
              else config.tpu.mesh_model)
     mesh = None
-    if data != 1 or model != 1 or n_proc > 1:
+    if data != 1 or model != 1:
         mesh = mesh_mod.make_mesh(data, model)
     if n_proc > 1:
+        # Dispatch gathers replicated outputs across the pod, so every
+        # process's devices must be in the mesh.  A defaulted (1, 1) or
+        # partial mesh would leave other hosts without addressable
+        # devices and hang/crash their first collective — same rule as
+        # training (train/loop.py make_sharded_step guard).
+        if mesh is None or mesh.devices.size != len(jax.devices()):
+            logger.fatal(
+                "Multi-process evaluation requires a device mesh spanning "
+                "the pod: pass --mesh_data 0 (or set [tpu] mesh_data so "
+                "mesh_data*mesh_model covers all %d devices)",
+                len(jax.devices()))
+            return 1
         if config.batch_size % n_proc:
             logger.fatal("batch_size %d not divisible by %d processes",
                          config.batch_size, n_proc)
@@ -507,7 +527,7 @@ def evaluate(config, prog, char_map) -> int:
     PENDING_WINDOW = 4
     pending_batches = []
     infer, put_rows = _make_infer(
-        model_cfg, prog["beam_width"], lm, prog["lm_weight"], mesh
+        model_cfg, prog["beam_width"], lm, prog["lm_weight"], mesh, fe=fe
     )
     dispatched = 0
     total_dispatch = None
@@ -528,21 +548,23 @@ def evaluate(config, prog, char_map) -> int:
         )
 
     def dispatch(audio, lengths, truths):
-        """Featurize + decode one host batch; queue it for scoring.  Rows
-        are tagged with a globally-unique uid that rides through the
-        program, so each host scores exactly its own rows of the
-        replicated output without assuming anything about the mesh's
+        """Featurize + decode one host batch; queue it for scoring.  The
+        frontend runs INSIDE the jitted program on the device's own rows
+        (no per-batch feature round trip through the host — dispatch stays
+        async).  Rows are tagged with a globally-unique uid that rides
+        through the program, so each host scores exactly its own rows of
+        the replicated output without assuming anything about the mesh's
         device order."""
         nonlocal dispatched
-        feats, nf = featurize(fe, jnp.asarray(audio), jnp.asarray(lengths))
         uid = np.arange(host_B, dtype=np.int32) + jax.process_index() * host_B
         if put_rows is not None:
             labels, lab_lens, uids_out = infer(
-                params, put_rows(np.asarray(feats)),
-                put_rows(np.asarray(nf)), put_rows(uid),
+                params, put_rows(audio), put_rows(lengths), put_rows(uid),
             )
         else:
-            labels, lab_lens = infer(params, feats, nf)
+            labels, lab_lens = infer(
+                params, jnp.asarray(audio), jnp.asarray(lengths)
+            )
             uids_out = None
         dispatched += 1
         pending_batches.append((labels, lab_lens, uids_out, uid, truths))

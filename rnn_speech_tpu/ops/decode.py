@@ -523,23 +523,32 @@ def beam_stream_decode(
 ) -> Tuple[BeamStream, jnp.ndarray, jnp.ndarray]:
     """Advance the beam search by one chunk of frames.
 
-    Returns ``(stream', committed (B, U), committed_len (B,))`` where
+    Returns ``(stream', committed (B, U+T), committed_len (B,))`` where
     ``committed`` are the newly-finalized symbols: the longest common
     prefix of every live beam, which the search can no longer revise
     (every future beam descends from a current live beam).  Feeding a clip
     chunk-by-chunk and concatenating the committed symbols plus the final
     ``beam_stream_flush`` tail reproduces whole-clip
-    ``beam_search_decode``'s top-1 text exactly, at every chunk size.
+    ``beam_search_decode``'s top-1 text exactly, at every chunk size,
+    PROVIDED beam disagreement never outgrows ``max_suffix``.  If it does,
+    the overflow is force-committed from the best beam (bounded-latency
+    semantics: lower-ranked beams lose their alternative spelling of those
+    symbols, but nothing is ever silently dropped — every emitted symbol
+    appears exactly once across the committed chunks plus the flush tail).
     """
     T, B, V = logits.shape
     K = stream.beam.last.shape[1]
     U = stream.prefix.shape[2]
+    # Work at width U+T so appending this chunk's emissions (at most T of
+    # them) can never clamp; the carried buffer is re-bounded to U below
+    # via the forced commit.
+    Uw = U + T
     if blank_id < 0:
         blank_id = V + blank_id
     use_lm = lm is not None and lm_weight != 0.0
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     arange_k = jnp.arange(K, dtype=jnp.int32)
-    arange_u = jnp.arange(U, dtype=jnp.int32)
+    arange_u = jnp.arange(Uw, dtype=jnp.int32)
 
     (final, lm_final), (parents, emitted) = _beam_scan(
         log_probs, logit_lengths, stream.beam, stream.lm, blank_id,
@@ -557,13 +566,16 @@ def beam_stream_decode(
     # arithmetic over the static U axis (gathers are fine outside the
     # scan — this runs once per chunk).
     sel = ancestors[:, :, None] == arange_k[None, None, :]       # (B, K, K)
+    prefix_w = jnp.pad(
+        stream.prefix, ((0, 0), (0, 0), (0, T)), constant_values=-1
+    )                                                            # (B, K, Uw)
     par_prefix = jnp.sum(
-        jnp.where(sel[:, :, :, None], stream.prefix[:, None, :, :], 0),
+        jnp.where(sel[:, :, :, None], prefix_w[:, None, :, :], 0),
         axis=2,
     )
     par_len = jnp.sum(jnp.where(sel, stream.prefix_len[:, None, :], 0),
                       axis=-1)
-    idx = arange_u[None, None, :] - par_len[:, :, None]          # (B, K, U)
+    idx = arange_u[None, None, :] - par_len[:, :, None]          # (B, K, Uw)
     from_chunk = jnp.take_along_axis(
         chunk_out, jnp.clip(idx, 0, chunk_out.shape[2] - 1), axis=-1
     )
@@ -572,7 +584,7 @@ def beam_stream_decode(
         par_prefix,
         jnp.where(idx < chunk_len[:, :, None], from_chunk, -1),
     )
-    new_len = jnp.minimum(par_len + chunk_len, U)
+    new_len = par_len + chunk_len          # <= Uw by construction
 
     # Committed = longest common prefix over LIVE beams (dead beams are
     # NEG_INF filler and must not constrain it).
@@ -580,27 +592,39 @@ def beam_stream_decode(
     ref = new_prefix[:, 0:1, :]                                  # beam 0
     within = arange_u[None, None, :] < new_len[:, :, None]
     agrees = (new_prefix == ref) & within
-    ok = jnp.all(agrees | ~live[:, :, None], axis=1)             # (B, U)
+    ok = jnp.all(agrees | ~live[:, :, None], axis=1)             # (B, Uw)
     commit_len = jnp.sum(
         jnp.cumprod(ok.astype(jnp.int32), axis=-1), axis=-1
     ).astype(jnp.int32)
+
+    # Bounded-latency forced commit: the carried buffer holds only U
+    # symbols, so if the longest live suffix left after the natural
+    # (all-beams-agree) commit still exceeds U, commit the best beam's
+    # oldest overflow symbols too.  Disagreeing beams lose their
+    # alternative spelling of those positions; the only other option is
+    # dropping symbols silently.
+    live_len = jnp.where(live, new_len, 0)
+    force = jnp.maximum(jnp.max(live_len, axis=1) - commit_len - U, 0)
+    commit_len = commit_len + force
 
     committed = jnp.where(
         arange_u[None, :] < commit_len[:, None], new_prefix[:, 0, :], -1
     )
 
-    # Trim the committed head off every beam's suffix buffer.
+    # Trim the committed head off every beam's suffix buffer and re-bound
+    # it to U (lossless for live beams: forced commit guarantees their
+    # trimmed length fits).
     tidx = jnp.broadcast_to(
         arange_u[None, None, :] + commit_len[:, None, None],
         new_prefix.shape,
     )
     trimmed = jnp.take_along_axis(
-        new_prefix, jnp.minimum(tidx, U - 1), axis=-1
+        new_prefix, jnp.minimum(tidx, Uw - 1), axis=-1
     )
-    trim_len = jnp.maximum(new_len - commit_len[:, None], 0)
+    trim_len = jnp.clip(new_len - commit_len[:, None], 0, U)
     trimmed = jnp.where(
         arange_u[None, None, :] < trim_len[:, :, None], trimmed, -1
-    )
+    )[:, :, :U]
 
     out = BeamStream(
         beam=final, lm=lm_final, prefix=trimmed, prefix_len=trim_len

@@ -64,21 +64,18 @@ def _grad_kernel(cd, h_ref, x_ref, dg_ref, dwh_ref, dwx_ref, db_ref):
     db_ref[:] += jnp.sum(dg.astype(jnp.float32), axis=0, keepdims=True)
 
 
-def _pick_chunk(n: int, bytes_per_row: int, acc_bytes: int) -> int:
-    """Largest divisor-of-n chunk whose double-buffered streamed blocks fit
-    the VMEM budget next to the resident accumulators; 0 -> caller pads."""
+def _chunk_plan(n: int, bytes_per_row: int,
+                acc_bytes: int) -> Tuple[int, bool]:
+    """(rows per grid step, caller must pad?).  Picks the largest
+    divisor-of-n chunk whose double-buffered streamed blocks fit the VMEM
+    budget next to the resident accumulators; when no divisor fits, the
+    capped default with caller-side row padding."""
     budget = (14 << 20) - acc_bytes
     cap = max(8, min(_N_CHUNK, budget // (2 * bytes_per_row)))
     for c in (512, 480, 448, 416, 384, 320, 256, 192, 128, 64, 32, 16, 8):
         if c <= cap and n % c == 0:
-            return c
-    return 0            # pad to the capped default chunk
-
-
-def _padded_chunk(n: int, bytes_per_row: int, acc_bytes: int) -> int:
-    budget = (14 << 20) - acc_bytes
-    cap = max(8, min(_N_CHUNK, budget // (2 * bytes_per_row)))
-    return (cap // 8) * 8
+            return c, False
+    return (cap // 8) * 8, True
 
 
 def _single_grad_kernel(cd, x_ref, dg_ref, dw_ref, db_ref):
@@ -113,9 +110,8 @@ def weight_grad(
     gt = _G_TILE if G % _G_TILE == 0 else G
     bpr = D * x2.dtype.itemsize + gt * dg2.dtype.itemsize
     acc = 4 * (D + 1) * gt
-    nc = _pick_chunk(n, bpr, acc)
-    if nc == 0:
-        nc = _padded_chunk(n, bpr, acc)
+    nc, needs_pad = _chunk_plan(n, bpr, acc)
+    if needs_pad:
         pad = -(-n // nc) * nc - n
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
         dg2 = jnp.pad(dg2, ((0, pad), (0, 0)))
@@ -175,9 +171,8 @@ def dgates_weight_grads(
     bpr = (H * h2.dtype.itemsize + D * x2.dtype.itemsize
            + gt * dg2.dtype.itemsize)
     acc = 4 * (H + D + 1) * gt
-    nc = _pick_chunk(n, bpr, acc)
-    if nc == 0:
-        nc = _padded_chunk(n, bpr, acc)
+    nc, needs_pad = _chunk_plan(n, bpr, acc)
+    if needs_pad:
         pad = -(-n // nc) * nc - n
         h2 = jnp.pad(h2, ((0, pad), (0, 0)))
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))

@@ -164,6 +164,21 @@ def test_evaluate_cli_sharded_matches_single_device(capsys,
     assert single == sharded and len(single) == 2
 
 
+def test_evaluate_multiprocess_requires_pod_mesh(workdir, monkeypatch,
+                                                 caplog):
+    """Multi-process --evaluate with the defaulted (1, 1) mesh must fail
+    with an actionable error instead of building a 1-device mesh that
+    excludes every other process's devices (whose first collective would
+    then hang or crash the pod)."""
+    import jax
+
+    root, cfg = workdir
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    rc = main(["--evaluate", "--config", cfg])
+    assert rc == 1
+    assert any("mesh spanning" in rec.message for rec in caplog.records)
+
+
 def test_train_language_and_generate_cli(workdir, capsys):
     root, cfg = workdir
     rc = main(["--train_language", "--config", cfg, "--max_steps", "10"])

@@ -316,6 +316,45 @@ def test_beam_stream_with_lm_fusion_matches_whole_clip(chunk):
     assert got == whole
 
 
+def test_beam_stream_forced_commit_on_suffix_saturation():
+    """When beam disagreement outlives ``max_suffix`` the stream must
+    force-commit the best beam's overflow instead of silently dropping
+    symbols.  Fixture: a near-tie at frame 0 keeps two beams alive that
+    disagree on symbol 0 forever (so the all-beams-agree commit never
+    fires), while confident alternating emissions grow every suffix —
+    without the forced commit, every symbol past ``max_suffix`` was lost
+    from both the committed stream and the flush tail."""
+    T, B, V, K = 40, 1, 5, 4
+    base = np.full((T, B, V), -8.0, np.float32)
+    base[0, 0, 0] = 2.01
+    base[0, 0, 1] = 1.99
+    for t in range(1, T):
+        base[t, 0, 2 + (t % 2)] = 4.0
+    logits = jnp.asarray(base)
+    lengths = jnp.asarray([T], jnp.int32)
+
+    out, lens, _ = decode.beam_search_decode(logits, lengths, beam_width=K)
+    whole = [int(x) for x in np.asarray(out)[0, 0, : int(lens[0, 0])]]
+    assert len(whole) == T  # every frame emits: the fixture saturates U=8
+
+    U = 8
+    stream = decode.beam_stream_init(B, V, beam_width=K, max_suffix=U)
+    got, maxbuf, off = [], 0, 0
+    while off < T:
+        n = min(6, T - off)
+        stream, com, comlen = decode.beam_stream_decode(
+            stream, logits[off : off + n], jnp.asarray([n], jnp.int32)
+        )
+        maxbuf = max(maxbuf, int(jnp.max(stream.prefix_len)))
+        got.extend(int(x) for x in np.asarray(com)[0, : int(comlen[0])])
+        off += n
+    tail, tail_len = decode.beam_stream_flush(stream)
+    got.extend(int(x) for x in np.asarray(tail)[0, : int(tail_len[0])])
+
+    assert maxbuf == U          # the suffix buffer really did saturate
+    assert got == whole         # ... and nothing was dropped or reordered
+
+
 def test_beam_stream_commits_are_monotone_prefixes():
     """Committed symbols are final: the concatenation after every chunk is
     a prefix of the concatenation after the next chunk."""

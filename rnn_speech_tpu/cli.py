@@ -532,19 +532,14 @@ def evaluate(config, prog, char_map) -> int:
     dispatched = 0
     total_dispatch = None
     if n_proc > 1:
-        # Dispatch is a pod collective (the replicated-output gather), so
-        # every process must launch the same program sequence: fix the
-        # step count with ONE allgather BEFORE any dispatch — an exhausted
-        # host launching the allgather while another host still launches
-        # infer programs would interleave two different collectives and
-        # deadlock the pod.  Skips can only shrink a host's real count
-        # below its file-count bound; the shortfall is fed as all-padding
-        # batches whose empty truths score nothing.
-        from jax.experimental import multihost_utils
+        # Dispatch is a pod collective (the replicated-output gather):
+        # the step count must be agreed upfront and exhausted hosts feed
+        # all-padding batches whose empty truths score nothing — the
+        # shared contract lives in parallel/lockstep.py.
+        from rnn_speech_tpu.parallel import lockstep
 
-        bound = -(-len(test_set) // host_B)
-        total_dispatch = int(
-            multihost_utils.process_allgather(np.asarray(bound)).max()
+        total_dispatch = lockstep.pod_dispatch_bound(
+            -(-len(test_set) // host_B)
         )
 
     def dispatch(audio, lengths, truths):

@@ -497,16 +497,12 @@ def evaluate_dataset(
     batches back-to-back without per-batch syncs while in-flight memory
     stays O(window), not O(test set).
 
-    Multi-process pods: hosts' test shards can yield different batch
-    counts, but the sharded eval step psums across the pod, so every
-    process must dispatch the same number of steps.  The step count is
-    fixed by ONE upfront allgather of each host's file-count bound — a
-    per-batch flag-allgather would park a blocking host collective between
-    every dispatch, serializing exactly the pipelining the WINDOW exists
-    for.  Skipped clips can only shrink a host's real batch count below
-    that bound, so exhausted hosts feed all-padding batches (which the
-    psummed metrics ignore) for the remainder; a single closing allgather
-    of the real counts drops the steps that were padding on EVERY host."""
+    Multi-process pods: the eval step psums across the pod, so dispatch
+    follows the lockstep contract of parallel/lockstep.py — step count
+    agreed by ONE upfront bound-allgather, exhausted hosts feeding
+    all-padding batches (which the psummed metrics ignore).  A single
+    closing allgather of the real counts then drops the trailer steps
+    that were padding on EVERY host, so they don't bias the mean low."""
     import jax as _jax
     from collections import deque
 
@@ -525,11 +521,10 @@ def evaluate_dataset(
     if _jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
+        from rnn_speech_tpu.parallel import lockstep
+
         macro = pcfg.batch_size * pcfg.mini_batch_size
-        bound = -(-len(test_set) // macro)
-        total = int(
-            multihost_utils.process_allgather(np.asarray(bound)).max()
-        )
+        total = lockstep.pod_dispatch_bound(-(-len(test_set) // macro))
         empty = None
         local_real = 0
         for _ in range(total):

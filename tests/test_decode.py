@@ -355,6 +355,46 @@ def test_beam_stream_forced_commit_on_suffix_saturation():
     assert got == whole         # ... and nothing was dropped or reordered
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_beam_stream_length_conservation_fuzz(seed):
+    """For ANY suffix capacity and ANY chunk-size sequence, the total
+    streamed symbol count must equal the whole-clip top-1 length: the
+    beam scan (and hence per-lineage emission count) is independent of
+    the buffer, so symbols may at worst be force-committed early — never
+    duplicated or dropped."""
+    rng = np.random.default_rng(seed)
+    T, B, V, K = 41, 2, 6, 4
+    logits = jnp.asarray(rng.normal(0, 1.0, (T, B, V)).astype(np.float32))
+    lengths = jnp.asarray([T, T - 11], jnp.int32)
+
+    out, lens, _ = decode.beam_search_decode(logits, lengths, beam_width=K)
+    whole_lens = [int(lens[b, 0]) for b in range(B)]
+
+    chunks = []
+    left = T
+    while left:
+        n = int(rng.integers(1, 9))
+        n = min(n, left)
+        chunks.append(n)
+        left -= n
+    for U in (48, 8):
+        stream = decode.beam_stream_init(B, V, beam_width=K, max_suffix=U)
+        totals = [0] * B
+        off = 0
+        for n in chunks:
+            cl = jnp.clip(lengths - off, 0, n)
+            stream, com, comlen = decode.beam_stream_decode(
+                stream, logits[off : off + n], cl
+            )
+            for b in range(B):
+                totals[b] += int(comlen[b])
+            off += n
+        _, tail_len = decode.beam_stream_flush(stream)
+        for b in range(B):
+            totals[b] += int(tail_len[b])
+        assert totals == whole_lens, (U, chunks)
+
+
 def test_beam_stream_commits_are_monotone_prefixes():
     """Committed symbols are final: the concatenation after every chunk is
     a prefix of the concatenation after the next chunk."""

@@ -40,6 +40,36 @@ _HASH_MULT = np.uint32(1000003)
 _HASH_MULT2 = np.uint32(8191)
 
 
+def _top_k_indices(rank: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the k largest entries per row, descending, ties broken
+    toward the lowest index — ``lax.top_k``'s exact order.
+
+    Two implementations (RST_BEAM_TOPK=lax|iter): XLA's TopK custom call,
+    or k masked argmax passes.  TopK lowers to a sort-shaped program whose
+    cost grows with the candidate count C; the iterative form is k cheap
+    (B, C) VPU reductions, which wins when k << C (the beam step has
+    k = K ~ 8-16 against C = K(V+1) ~ 650-1300 candidates).  Ties: argmax
+    returns the lowest index, and masking removes exactly the selected
+    slot per pass, so equal values emerge lowest-index-first — identical
+    to lax.top_k (pinned by tests/test_decode.py)."""
+    import os
+
+    if os.environ.get("RST_BEAM_TOPK", "lax") != "iter":
+        _, idx = jax.lax.top_k(rank, k)
+        return idx
+    C = rank.shape[-1]
+    iota = jnp.arange(C, dtype=jnp.int32)
+
+    def one(carry, _):
+        cur = carry
+        am = jnp.argmax(cur, axis=-1).astype(jnp.int32)      # (B,)
+        cur = jnp.where(iota[None, :] == am[:, None], -jnp.inf, cur)
+        return cur, am
+
+    _, idx = jax.lax.scan(one, rank, None, length=k)
+    return jnp.transpose(idx)                                # (B, k)
+
+
 def _left_compact(chars: jnp.ndarray, keep: jnp.ndarray, U: int):
     """Left-compact kept symbols along the leading time axis.
 
@@ -283,7 +313,7 @@ def _beam_scan(
             )
         else:
             rank = score
-        _, top_idx = jax.lax.top_k(rank, K)             # (B, K)
+        top_idx = _top_k_indices(rank, K)               # (B, K)
 
         # Candidate identity decodes arithmetically from its index.
         is_stay = top_idx < K

@@ -217,6 +217,44 @@ def test_left_compact_wider_than_T():
     assert labels.shape == (B, 3, 10)
 
 
+def test_top_k_indices_iter_matches_lax(monkeypatch):
+    """The iterative masked-argmax top-k must reproduce lax.top_k's exact
+    index order, including ties (lowest index first) and -inf rows."""
+    from rnn_speech_tpu.ops.decode import _top_k_indices
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(0, 3, (7, 130)).astype(np.float32)
+    vals[0, 5] = vals[0, 77] = vals[0, 12]          # three-way tie
+    vals[1, :] = -1e30                              # all-dead row
+    vals[2, ::3] = 4.25                             # many equal maxima
+    rank = jnp.asarray(vals)
+    for k in (1, 4, 16):
+        monkeypatch.setenv("RST_BEAM_TOPK", "lax")
+        ref = np.asarray(_top_k_indices(rank, k))
+        monkeypatch.setenv("RST_BEAM_TOPK", "iter")
+        got = np.asarray(_top_k_indices(rank, k))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_beam_search_iter_topk_matches_lax(monkeypatch):
+    """Full beam search under RST_BEAM_TOPK=iter is bit-identical to the
+    lax.top_k build (same labels, lengths, scores)."""
+    rng = np.random.default_rng(4)
+    T, B, V, K = 30, 2, 6, 8
+    logits = jnp.asarray(rng.normal(0, 1.5, (T, B, V)).astype(np.float32))
+    lengths = jnp.asarray([T, T - 7], jnp.int32)
+
+    monkeypatch.setenv("RST_BEAM_TOPK", "lax")
+    out_l, len_l, sc_l = decode.beam_search_decode(logits, lengths,
+                                                   beam_width=K)
+    monkeypatch.setenv("RST_BEAM_TOPK", "iter")
+    out_i, len_i, sc_i = decode.beam_search_decode(logits, lengths,
+                                                   beam_width=K)
+    np.testing.assert_array_equal(np.asarray(out_l), np.asarray(out_i))
+    np.testing.assert_array_equal(np.asarray(len_l), np.asarray(len_i))
+    np.testing.assert_allclose(np.asarray(sc_l), np.asarray(sc_i))
+
+
 # ------------------------------------------------------- streaming decoders
 
 def _run_beam_stream(logits, lengths, chunk, K, lm=None, lm_weight=0.0):

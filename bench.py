@@ -95,9 +95,47 @@ def bench_tpu() -> float:
 
 def bench_train() -> dict:
     """Train-step throughput at reference shapes (3x1024, T=3510 frames,
-    no frame stacking): one fused device batch per step through the full
-    compiled path — on-device frontend, Pallas LSTM fwd+bwd (bf16
-    residuals), Pallas CTC, Adam + global-norm clip."""
+    no frame stacking), with a kernel-fallback ladder: if the newest
+    Pallas paths fail on this chip/runtime (compile OOM, lowering bug),
+    retry with them disabled rather than losing the train numbers — the
+    result records which rung ran."""
+    import os
+    import sys
+    import traceback
+
+    LADDER = [
+        ("", {}),
+        ("no_fused_wgrad", {"RST_FUSED_WGRAD": "0"}),
+        ("legacy_kernels", {"RST_FUSED_WGRAD": "0",
+                            "RST_FUSED_DROPOUT": "0",
+                            "RST_CTC_KBLOCK": "1"}),
+    ]
+    pinned = {k for k in ("RST_FUSED_WGRAD", "RST_FUSED_DROPOUT",
+                          "RST_CTC_KBLOCK") if k in os.environ}
+    last = None
+    for name, env in LADDER:
+        if pinned and name:
+            break               # explicit A/B run: no silent rung changes
+        try:
+            os.environ.update(env)
+            out = _bench_train_once()
+            if name:
+                out["train_kernel_fallback"] = name
+            return out
+        except Exception as exc:  # noqa: BLE001 — any compile/runtime error
+            traceback.print_exc(file=sys.stderr)
+            last = exc
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+    raise last
+
+
+def _bench_train_once() -> dict:
+    """One bench_train attempt at the currently-selected kernel config:
+    one fused device batch per step through the full compiled path —
+    on-device frontend, Pallas LSTM fwd+bwd (bf16 residuals), Pallas CTC,
+    Adam + global-norm clip."""
     import jax
     import jax.numpy as jnp
 

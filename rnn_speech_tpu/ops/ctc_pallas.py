@@ -61,7 +61,14 @@ def _time_block(B: int, S: int) -> int:
     streaming single (1, B, S) blocks at reference shapes — the math itself
     is ~0.1 µs of VPU work), so blocking K steps per invocation amortizes
     it ~K-fold.  K is sized so the streamed blocks stay well inside VMEM
-    even with double buffering (lp + alphas + post ~ 3 streams)."""
+    even with double buffering (lp + alphas + post ~ 3 streams).
+    RST_CTC_KBLOCK overrides (1 = the pre-blocking per-step pipeline) for
+    on-chip triage."""
+    import os
+
+    forced = int(os.environ.get("RST_CTC_KBLOCK", "0"))
+    if forced > 0:
+        return forced
     per_step = 3 * B * S * 4
     k = max(1, min(16, (4 << 20) // max(per_step, 1)))
     while k & (k - 1):          # round down to a power of two

@@ -181,7 +181,9 @@ def lstm_stack(
         if rng is None or not keeps:
             return rng, out
         rng, sub = jax.random.split(rng)
-        if use_pallas:
+        import os
+
+        if use_pallas and os.environ.get("RST_FUSED_DROPOUT", "1") != "0":
             from rnn_speech_tpu.ops import dropout_pallas
 
             return rng, dropout_pallas.dropout_pallas(sub, out, keeps)

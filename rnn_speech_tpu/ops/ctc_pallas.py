@@ -69,11 +69,25 @@ def _time_block(B: int, S: int) -> int:
     forced = int(os.environ.get("RST_CTC_KBLOCK", "0"))
     if forced > 0:
         return forced
-    per_step = 3 * B * S * 4
-    k = max(1, min(16, (4 << 20) // max(per_step, 1)))
+    # Worst-case VMEM per blocked time step: the posteriors kernel streams
+    # three (K, B, S) f32 blocks (lp, alphas, post out), each
+    # double-buffered, with S padded to the 128-lane tile.  Budget them
+    # against an explicit scoped-VMEM grant (``_vmem_limit``) rather than
+    # the compiler's 16 MiB default — at the reference's S=1201 lattice the
+    # old 4 MiB budget forced K=4 (878 grid invocations per pass, ~40 ms of
+    # almost pure per-invocation overhead).
+    s_pad = -(-S // 128) * 128
+    per_step = 6 * B * s_pad * 4
+    k = max(1, min(64, (56 << 20) // max(per_step, 1)))
     while k & (k - 1):          # round down to a power of two
         k &= k - 1
     return k
+
+
+def _vmem_limit(K: int, B: int, S: int) -> int:
+    """Scoped-VMEM request sized to the worst kernel's streamed blocks."""
+    s_pad = -(-S // 128) * 128
+    return min((96 << 20), 6 * K * B * s_pad * 4 + (8 << 20))
 
 
 def _alpha_kernel(K, lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
@@ -133,6 +147,9 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True):
         bytes_accessed=2 * T * B * S * 4,
         transcendentals=4 * T * B * S,
     )
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=_vmem_limit(K, B, S),
+    )
     if not emit_alphas:
         (last,) = pl.pallas_call(
             functools.partial(_alpha_kernel_lossonly, K),
@@ -143,6 +160,7 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True):
             ],
             out_shape=[jax.ShapeDtypeStruct((B, S), jnp.float32)],
             scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+            compiler_params=compiler_params,
             cost_estimate=cost,
         )(lp_ext, live, skip_ok)
         return None, last
@@ -160,6 +178,7 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True):
             jax.ShapeDtypeStruct((B, S), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+        compiler_params=compiler_params,
         cost_estimate=cost,
     )(lp_ext, live, skip_ok)
 
@@ -223,6 +242,9 @@ def _posteriors_pallas(lp_ext, alphas, islast, live, skipn2, beta_init,
         ],
         out_shape=[jax.ShapeDtypeStruct((T, B, S), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(K, B, S),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=12 * T * B * S,
             bytes_accessed=3 * T * B * S * 4,

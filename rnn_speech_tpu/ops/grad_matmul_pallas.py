@@ -39,6 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 _N_CHUNK = 512
 _G_TILE = 1024
 
+# Scoped-VMEM ceiling requested from the compiler.  The default 16 MiB
+# limit OOMs at flagship shapes because Pallas revolves (double-buffers)
+# the accumulator blocks across the G grid dimension — the (H+D, Gt) f32
+# accumulators alone cost 2 x 8.4 MiB there.  v5e/v4 chips carry 128 MiB
+# of VMEM; we ask for exactly what the plan needs, capped well below that.
+_VMEM_CAP = 96 << 20
+
 
 def _grad_kernel(cd, h_ref, x_ref, dg_ref, dwh_ref, dwx_ref, db_ref):
     n = pl.program_id(1)
@@ -65,17 +72,23 @@ def _grad_kernel(cd, h_ref, x_ref, dg_ref, dwh_ref, dwx_ref, db_ref):
 
 
 def _chunk_plan(n: int, bytes_per_row: int,
-                acc_bytes: int) -> Tuple[int, bool]:
-    """(rows per grid step, caller must pad?).  Picks the largest
-    divisor-of-n chunk whose double-buffered streamed blocks fit the VMEM
-    budget next to the resident accumulators; when no divisor fits, the
-    capped default with caller-side row padding."""
-    budget = (14 << 20) - acc_bytes
+                acc_bytes: int) -> Tuple[int, bool, int]:
+    """(rows per grid step, caller must pad?, vmem_limit_bytes).  Picks the
+    largest divisor-of-n chunk whose double-buffered streamed blocks fit
+    the VMEM budget next to the accumulators — which Pallas ALSO
+    double-buffers, because their block index varies over the G grid
+    dimension — then sizes the scoped-VMEM request to the plan (the
+    compiler's 16 MiB default is too small for the flagship accumulators)."""
+    budget = _VMEM_CAP - 2 * acc_bytes
     cap = max(8, min(_N_CHUNK, budget // (2 * bytes_per_row)))
     for c in (512, 480, 448, 416, 384, 320, 256, 192, 128, 64, 32, 16, 8):
         if c <= cap and n % c == 0:
-            return c, False
-    return (cap // 8) * 8, True
+            nc, needs_pad = c, False
+            break
+    else:
+        nc, needs_pad = (cap // 8) * 8, True
+    vmem = 2 * acc_bytes + 2 * nc * bytes_per_row + (2 << 20)
+    return nc, needs_pad, min(vmem, _VMEM_CAP)
 
 
 def _single_grad_kernel(cd, x_ref, dg_ref, dw_ref, db_ref):
@@ -110,7 +123,7 @@ def weight_grad(
     gt = _G_TILE if G % _G_TILE == 0 else G
     bpr = D * x2.dtype.itemsize + gt * dg2.dtype.itemsize
     acc = 4 * (D + 1) * gt
-    nc, needs_pad = _chunk_plan(n, bpr, acc)
+    nc, needs_pad, vmem_limit = _chunk_plan(n, bpr, acc)
     if needs_pad:
         pad = -(-n // nc) * nc - n
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
@@ -137,6 +150,7 @@ def weight_grad(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * D * G,
@@ -171,7 +185,7 @@ def dgates_weight_grads(
     bpr = (H * h2.dtype.itemsize + D * x2.dtype.itemsize
            + gt * dg2.dtype.itemsize)
     acc = 4 * (H + D + 1) * gt
-    nc, needs_pad = _chunk_plan(n, bpr, acc)
+    nc, needs_pad, vmem_limit = _chunk_plan(n, bpr, acc)
     if needs_pad:
         pad = -(-n // nc) * nc - n
         h2 = jnp.pad(h2, ((0, pad), (0, 0)))
@@ -205,6 +219,7 @@ def dgates_weight_grads(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * (H + D) * G,

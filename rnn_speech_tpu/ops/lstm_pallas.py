@@ -49,6 +49,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Scoped-VMEM ceiling for the recurrence kernels.  The compiler's 16 MiB
+# default is sized for small fused loops; at B=128 the double-buffered
+# per-step blocks plus the resident (H, 4H) weight matrix need ~18 MiB.
+# The hardware carries 128 MiB — 64 MiB leaves pipelining headroom while
+# bounding what one kernel may pin.
+_VMEM_LIMIT = 64 << 20
+
 
 def _recurrence_kernel(mask_ref, xproj_ref, wh_ref, h0_ref, c0_ref,
                        out_ref, hn_ref, cn_ref, h_s, c_s):
@@ -120,6 +127,9 @@ def lstm_recurrence_pallas(
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * H * four_h,
             bytes_accessed=T * B * four_h * 4 + H * four_h * w_h.dtype.itemsize,
@@ -205,6 +215,9 @@ def _lstm_recurrence_train(x_proj, w_h, mask, h0, c0, res_dtype):
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * H * four_h,
             bytes_accessed=T * B * four_h * 8 + T * B * H * 8
@@ -304,6 +317,9 @@ def _lstm_recurrence_bwd(dout, gates_act, c_seq, c_prev_seq, mask, w_h,
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * H * four_h,
             bytes_accessed=T * B * (
@@ -390,6 +406,9 @@ def _lstm_recurrence_train_lean(x_proj, w_h, mask, h0, c0, res_dtype):
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * H * four_h,
             bytes_accessed=T * B * (four_h * 4 + H * 4
@@ -497,6 +516,9 @@ def _lstm_recurrence_bwd_recompute(dout, x_rd, hprev_seq, c_seq, c_prev_seq,
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=6 * T * B * H * four_h,
             bytes_accessed=T * B * H * (4 + 4 * res_dtype.itemsize)

@@ -34,15 +34,28 @@ ITER = 5
 
 
 def _timeit(name, fn, *args, results=None):
+    """Slope timing: (t(N2) - t(N1)) / (N2 - N1) cancels the per-batch
+    fixed costs a tunneled backend adds (dispatch round-trips and the
+    proof-of-completion fetch), which at 5 iterations inflate sub-50 ms
+    stages by several ms each.  The fetch transfers ONE leaf element —
+    np.asarray on a whole leaf would ship it through the tunnel."""
     import jax
+    import jax.numpy as jnp
 
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITER):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITER
+
+    def _run(n):
+        t0 = time.perf_counter()
+        outs = None
+        for _ in range(n):
+            outs = fn(*args)
+        leaf = jax.tree_util.tree_leaves(outs)[0]
+        jax.device_get(jnp.ravel(leaf)[0])
+        return time.perf_counter() - t0
+
+    n1, n2 = ITER, 4 * ITER
+    dt = min((_run(n2) - _run(n1)) / (n2 - n1) for _ in range(2))
     print(f"{name:52s} {dt * 1e3:9.2f} ms", flush=True)
     if results is not None:
         results[name] = round(dt * 1e3, 2)
@@ -151,6 +164,10 @@ def main() -> int:
                 "tbg,dg->tbd", dg.astype(bf), wx.astype(bf),
                 preferred_element_type=jnp.float32)),
             dgates, w_x, results=results)
+        # Free this layer's activations before the next one allocates its
+        # own (~11 GB of (T, B, 4H) streams per layer — two layers' worth
+        # does not fit HBM side by side).
+        del x, xp, fwd, out, gates_act, c_seq, c_prev, dout, dgates, h_prev
 
     # 4. CTC value and value+grad (blocked kernels)
     from rnn_speech_tpu.ops import ctc_pallas

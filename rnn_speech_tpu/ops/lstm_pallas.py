@@ -353,7 +353,7 @@ def _recurrence_train_lean_kernel(mask_ref, xproj_ref, wh_ref, h0_ref,
     c = c_s[:]
     H = h.shape[-1]
 
-    gates = xproj_ref[0] + jnp.dot(
+    gates = xproj_ref[0].astype(jnp.float32) + jnp.dot(
         h.astype(wh_ref.dtype), wh_ref[:], preferred_element_type=jnp.float32
     )
     i_a = jax.nn.sigmoid(gates[:, :H])
@@ -411,7 +411,7 @@ def _lstm_recurrence_train_lean(x_proj, w_h, mask, h0, c0, res_dtype):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * H * four_h,
-            bytes_accessed=T * B * (four_h * 4 + H * 4
+            bytes_accessed=T * B * (four_h * x_proj.dtype.itemsize + H * 4
                                     + H * jnp.dtype(res_dtype).itemsize)
             + H * four_h * w_h.dtype.itemsize,
             transcendentals=4 * T * B * H,
@@ -628,10 +628,17 @@ def _lstm_core_recompute(w_x, w_h, b, x, mask, c0, h0, cd, rd):
 
 
 def _lstm_core_recompute_fwd(w_x, w_h, b, x, mask, c0, h0, cd, rd):
+    # The projected-gates stream is the layer's largest live tensor
+    # ((T,B,4H): 6.9 GB f32 at B=128/T=3510) and only feeds a per-step
+    # add inside the recurrence, so it narrows to the residual dtype and
+    # the kernel upcasts each (1,B,4H) block — the accumulation itself
+    # stays f32.  This is what admits whole-sequence B=128 on a v5e
+    # (16.4 GB -> under budget); bf16 rounding of the pre-activations is
+    # within this mode's existing rd-limited backward precision.
     x_proj = (
         jnp.dot(x.astype(cd), w_x.astype(cd), preferred_element_type=jnp.float32)
         + b.astype(jnp.float32)
-    )
+    ).astype(rd)
     out, hn, cn, c_seq = _lstm_recurrence_train_lean(
         x_proj, w_h.astype(cd), mask, h0.astype(jnp.float32),
         c0.astype(jnp.float32), rd,

@@ -212,14 +212,23 @@ def _beta_post_kernel(K, lp_ref, alphas_ref, islast_ref, live_ref,
         beta = jnp.where(islast > 0, beta_init_ref[:], beta)
         gamma = alphas_ref[k] + beta - logp_ref[:, :1]
         live = live_ref[k, 0][:, None]
-        post_ref[k] = jnp.exp(jnp.minimum(gamma, 0.0)) * live
+        post = jnp.exp(jnp.minimum(gamma, 0.0)) * live
+        post_ref[k] = post.astype(post_ref.dtype)
         bstar_s[:] = beta + lp_ref[k]
 
 
 def _posteriors_pallas(lp_ext, alphas, islast, live, skipn2, beta_init,
-                       logp):
+                       logp, post_dtype=jnp.float32):
     """Returns the lattice-state posteriors (T, B, S); T must be a multiple
-    of ``_time_block(B, S)`` (padded steps have live=0 and emit zeros)."""
+    of ``_time_block(B, S)`` (padded steps have live=0 and emit zeros).
+
+    ``post_dtype`` narrows only the OUTPUT stream: the beta recursion and
+    the alpha+beta combination stay f32 in VMEM.  Posteriors are exp-space
+    values in [0, 1], so bf16's 2^-9 relative rounding is a bounded ~0.2 %
+    error on the gradient's label term — unlike the log-space alpha / lp
+    streams, whose magnitudes reach O(1000) and would lose whole units to
+    bf16.  At B=128/T=3510/S=1201 this halves a 2.14 GB HBM temp (and its
+    read-back), which is what lets whole-sequence B=128 training fit."""
     T, B, S = lp_ext.shape
     K = _time_block(B, S)
     assert T % K == 0, (T, K)
@@ -240,14 +249,14 @@ def _posteriors_pallas(lp_ext, alphas, islast, live, skipn2, beta_init,
         out_specs=[
             pl.BlockSpec((K, B, S), rev, memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((T, B, S), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((T, B, S), post_dtype)],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(K, B, S),
         ),
         cost_estimate=pl.CostEstimate(
             flops=12 * T * B * S,
-            bytes_accessed=3 * T * B * S * 4,
+            bytes_accessed=T * B * S * (8 + jnp.dtype(post_dtype).itemsize),
             transcendentals=5 * T * B * S,
         ),
     )(lp_ext, alphas, islast, live, skipn2, beta_init, logp)
@@ -304,48 +313,57 @@ def _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths, blank_id,
     ext, skip_f, lp_ext, live = _lattice_inputs(
         log_probs, logit_lengths, labels, label_lengths, blank_id
     )
-    # The loss-only path skips the (T, B, S) alphas HBM stream entirely —
-    # pallas_call outputs are opaque to XLA's DCE, so eval batches would
-    # otherwise pay the full residual write for a discarded array.
-    alphas, last = _alphas_pallas(
-        lp_ext, live, skip_f, emit_alphas=want_residuals
-    )
+    # Forward always runs the loss-only alpha kernel: the (T, B, S) alphas
+    # stream never hits HBM here.  The RESIDUAL kept for the backward is
+    # lp_ext itself (same (T, B, S) f32 footprint the alphas stream had),
+    # and the backward re-runs the alpha kernel from it — bit-identical
+    # alphas at the cost of one cheap VPU pass, instead of re-deriving
+    # lp_ext with a 3-term split-matmul whose term product and
+    # layout-transposition copy each materialize another (T, B, S) f32
+    # temp (2×~2.1 GB at B=128 reference shapes — the allocations that
+    # kept whole-sequence B=128 training from compiling).
+    _, last = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=False)
     logp = _terminal_logp(last, label_lengths)
     valid = (label_lengths <= logit_lengths) & (logit_lengths > 0)
     loss = jnp.where(valid, -logp, 0.0)
     if not want_residuals:
         return loss, None
-    # lp_ext is NOT kept: the backward pass recomputes it from log_probs +
-    # ext with one extra split-matmul instead of holding (T, B, S) floats
-    # live from forward to backward.
-    residuals = (log_probs, alphas, logp, ext, skip_f, live,
+    residuals = (log_probs, lp_ext, logp, ext, skip_f, live,
                  logit_lengths, label_lengths, valid)
     return loss, residuals
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id=-1):
-    """Per-example CTC negative log-likelihood, shape (B,). Pallas-fused."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def ctc_loss(logits, logit_lengths, labels, label_lengths, blank_id=-1,
+             post_dtype=jnp.float32):
+    """Per-example CTC negative log-likelihood, shape (B,). Pallas-fused.
+
+    ``post_dtype`` (nondiff, default f32 = byte-identical to the original
+    kernels) selects the dtype of the backward's (T, B, S) posterior
+    stream — see ``_posteriors_pallas``.  The training step passes bf16
+    when the model itself computes in bf16."""
     loss, _ = _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths,
                             blank_id, want_residuals=False)
     return loss
 
 
-def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id):
+def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id,
+             post_dtype):
     return _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths,
                          blank_id, want_residuals=True)
 
 
-def _ctc_bwd(blank_id, residuals, g):
-    (log_probs, alphas, logp, ext, skip_f, live,
+def _ctc_bwd(blank_id, post_dtype, residuals, g):
+    (log_probs, lp_ext, logp, ext, skip_f, live,
      logit_lengths, label_lengths, valid) = residuals
     T, B, V = log_probs.shape                 # log_probs is unpadded …
-    Tp = alphas.shape[0]                      # … alphas/live carry the pad
+    Tp = lp_ext.shape[0]                      # … lp_ext/live carry the pad
     S = ext.shape[1]
     onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)    # (B, S, V)
-    lp_pad = (jnp.pad(log_probs, ((0, Tp - T), (0, 0), (0, 0)))
-              if Tp != T else log_probs)
-    lp_ext = _split_matmul(lp_pad, onehot, "tbv,bsv->tbs", terms=3)
+    # Re-run the alpha recursion from the saved lp_ext — bit-identical to
+    # the forward's lattice (same kernel, same inputs) for one VPU pass,
+    # with none of the split-matmul temps a lp_ext recompute would cost.
+    alphas, _ = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=True)
 
     # Terminal beta at each row's last valid frame.
     s_idx = jnp.arange(S)[None, :]
@@ -364,9 +382,27 @@ def _ctc_bwd(blank_id, residuals, g):
 
     post = _posteriors_pallas(
         lp_ext, alphas, islast, live, skipn2, beta_init, logp[:, None],
+        post_dtype=post_dtype,
     )
 
-    label_post = _split_matmul(post[:T], onehot, "tbs,bsv->tbv")
+    if jnp.dtype(post_dtype) == jnp.bfloat16:
+        # bf16 posteriors feed the MXU natively — no split terms needed
+        # (the split exists to repair f32->bf16 operand rounding, and a
+        # bf16 stream is already bf16-exact) and, critically, no f32 copy
+        # of the (T, B, S) stream is ever materialized.  CPU's dot thunk
+        # can't take bf16 operands, so non-TPU backends upcast — same
+        # numerics (both operands are bf16-exact), only an f32 copy that
+        # the memory-constrained TPU path avoids.
+        a, oh = post[:T], onehot
+        if jax.default_backend() == "cpu":
+            a = a.astype(jnp.float32)
+        else:
+            oh = onehot.astype(jnp.bfloat16)
+        label_post = jnp.einsum(
+            "tbs,bsv->tbv", a, oh, preferred_element_type=jnp.float32,
+        )
+    else:
+        label_post = _split_matmul(post[:T], onehot, "tbs,bsv->tbv")
     grad = jnp.exp(log_probs) - label_post
 
     t_mask = jnp.transpose(live[:T] > 0, (0, 2, 1))       # (T, B, 1)

@@ -69,8 +69,24 @@ class StepConfig:
 
 def _ctc_loss_fn(cfg: "StepConfig"):
     if cfg.use_pallas_ctc:
+        import os
+
         from rnn_speech_tpu.ops import ctc_pallas
 
+        # bf16-computing models take the backward's (T, B, S) posterior
+        # stream in bf16 too (exp-space, bounded [0, 1] — ~0.2 % relative
+        # rounding on the gradient's label term, consistent with the bf16
+        # dgates/residual streams everywhere else).  Halves the largest
+        # CTC backward temp; RST_CTC_POST_F32=1 restores the f32 stream
+        # for A/B triage.
+        if (jnp.dtype(cfg.model.compute_dtype) == jnp.bfloat16
+                and os.environ.get("RST_CTC_POST_F32", "0") != "1"):
+            def loss_fn(logits, logit_lengths, labels, label_lengths):
+                return ctc_pallas.ctc_loss(
+                    logits, logit_lengths, labels, label_lengths,
+                    -1, jnp.bfloat16,
+                )
+            return loss_fn
         return ctc_pallas.ctc_loss
     return ctc.ctc_loss
 

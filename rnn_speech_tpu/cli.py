@@ -718,25 +718,14 @@ class StreamingTranscriber:
             return dec.greedy_stream_decode(logits, lengths, dcarry)
 
         model_cfg, fe, pcfg, params = _build_forward(config, char_map, 1)
-        # Piecewise text emission: once any text is out, a piece that
-        # STARTS with a capital (word start) still needs its space —
-        # decode(a) + decode(b, continuation=True) == decode(a+b).
-        self._text_started = False
-        if beam_width > 1:
-            self._dec = dec.beam_stream_init(
-                1, len(char_map), beam_width=beam_width, max_suffix=128,
-                lm=lm,
-            )
-        else:
-            import jax.numpy as _jnp
-
-            self._dec = _jnp.full((1,), -1, _jnp.int32)
         self._dec_mod = dec
         self._beam_width = beam_width
+        self._lm = lm
         self._params = params
         self._pcfg = pcfg
         self._char_map = char_map
-        self._states = acoustic.zero_state(model_cfg, 1)
+        self._model_cfg = model_cfg
+        self._acoustic_mod = acoustic
         self._jnp = jnp
         self._stack = max(getattr(model_cfg, "frame_stack", 1), 1)
         self.sample_rate = pcfg.sample_rate
@@ -754,8 +743,8 @@ class StreamingTranscriber:
         if self._streaming_dsp:
             from rnn_speech_tpu import streaming as streaming_mod
 
+            self._streaming_mod = streaming_mod
             self._sfe = streaming_mod.StreamingFbank(pcfg.sample_rate)
-            self._feat_buf = np.zeros((0, self._sfe.feature_size), np.float32)
             # Fixed compiled frame budget per device step: a chunk's worth
             # of frames (one compile); longer feeds loop over slices.
             frames = self.chunk_samples // self._sfe.frame_step + 2
@@ -797,6 +786,30 @@ class StreamingTranscriber:
                 return labels, lengths, states, dcarry
 
             self._chunk_step = chunk_step
+        self.reset()
+
+    def reset(self) -> None:
+        """Clear all per-utterance state — recurrent, decoder, featurizer
+        and text-continuation — without touching the compiled programs, so
+        one transcriber instance (and its one-compile-per-width budget)
+        serves many utterances back to back."""
+        # Piecewise text emission: once any text is out, a piece that
+        # STARTS with a capital (word start) still needs its space —
+        # decode(a) + decode(b, continuation=True) == decode(a+b).
+        self._text_started = False
+        if self._beam_width > 1:
+            self._dec = self._dec_mod.beam_stream_init(
+                1, len(self._char_map), beam_width=self._beam_width,
+                max_suffix=128, lm=self._lm,
+            )
+        else:
+            self._dec = self._jnp.full((1,), -1, self._jnp.int32)
+        self._states = self._acoustic_mod.zero_state(self._model_cfg, 1)
+        if self._streaming_dsp:
+            self._sfe = self._streaming_mod.StreamingFbank(self.sample_rate)
+            self._feat_buf = np.zeros(
+                (0, self._sfe.feature_size), np.float32
+            )
 
     def _decode_frames(self, final: bool = False) -> list:
         """Run buffered feature frames through the model in fixed-shape

@@ -389,17 +389,27 @@ def _ctc_bwd(blank_id, post_dtype, residuals, g):
         # bf16 posteriors feed the MXU natively — no split terms needed
         # (the split exists to repair f32->bf16 operand rounding, and a
         # bf16 stream is already bf16-exact) and, critically, no f32 copy
-        # of the (T, B, S) stream is ever materialized.  CPU's dot thunk
-        # can't take bf16 operands, so non-TPU backends upcast — same
+        # of the (T, B, S) stream is ever materialized.  Non-TPU dot
+        # thunks reject bf16 operands, so those platforms upcast — same
         # numerics (both operands are bf16-exact), only an f32 copy that
-        # the memory-constrained TPU path avoids.
-        a, oh = post[:T], onehot
-        if jax.default_backend() == "cpu":
-            a = a.astype(jnp.float32)
-        else:
-            oh = onehot.astype(jnp.bfloat16)
-        label_post = jnp.einsum(
-            "tbs,bsv->tbv", a, oh, preferred_element_type=jnp.float32,
+        # the memory-constrained TPU path avoids.  Branch on the actual
+        # LOWERING platform, not jax.default_backend(): compiling for a
+        # non-default backend (jit(..., backend="cpu") on a TPU host)
+        # must still take the upcast path.
+        def _mxu_native(a, oh):
+            return jnp.einsum(
+                "tbs,bsv->tbv", a, oh.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+
+        def _upcast(a, oh):
+            return jnp.einsum(
+                "tbs,bsv->tbv", a.astype(jnp.float32), oh,
+                preferred_element_type=jnp.float32,
+            )
+
+        label_post = jax.lax.platform_dependent(
+            post[:T], onehot, tpu=_mxu_native, default=_upcast,
         )
     else:
         label_post = _split_matmul(post[:T], onehot, "tbs,bsv->tbv")

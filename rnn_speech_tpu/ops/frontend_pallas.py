@@ -169,7 +169,7 @@ def fbank_banks_pallas(
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # pre_rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # pre_rows (HBM)
             pl.BlockSpec(
                 (K * lane, 2 * bins_pad), lambda b, t: (0, 0),
                 memory_space=pltpu.VMEM,

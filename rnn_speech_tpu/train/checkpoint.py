@@ -28,6 +28,43 @@ logger = logging.getLogger(__name__)
 POINTER_FILE = "checkpoint"
 PREFIX = "acousticmodel"
 
+# Key listing which arrays in a bundle are bfloat16 stored as raw uint16
+# bits.  numpy's npz format cannot round-trip ml_dtypes' bfloat16 descr,
+# so half-precision bundles (the committed trained_models/ artifacts)
+# view the bits as uint16 on save and view them back on load;
+# ``_unflatten_like`` then upcasts losslessly into the f32 template.
+BF16_KEYS = "__bf16_keys__"
+
+
+def _encode_bf16(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Round float arrays to bfloat16, stored as uint16 bit patterns."""
+    import ml_dtypes
+
+    out, bf16_keys = {}, []
+    for key, value in flat.items():
+        if not key.startswith("__") and value.dtype in (
+            np.float32, np.float64
+        ):
+            out[key] = np.asarray(value, np.float32).astype(
+                ml_dtypes.bfloat16
+            ).view(np.uint16)
+            bf16_keys.append(key)
+        else:
+            out[key] = value
+    if bf16_keys:
+        out[BF16_KEYS] = np.asarray(bf16_keys)
+    return out
+
+
+def _decode_bf16(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    import ml_dtypes
+
+    keys = flat.pop(BF16_KEYS, None)
+    if keys is not None:
+        for key in np.asarray(keys).tolist():
+            flat[key] = flat[key].view(ml_dtypes.bfloat16)
+    return flat
+
 
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     flat = {}
@@ -64,15 +101,21 @@ def save(
     step: int,
     learning_rate: float,
     keep: int = 5,
+    weights_dtype: str = "float32",
 ) -> str:
     """Write ``acousticmodel-<step>.npz`` and update the pointer file.
 
     Retains only the ``keep`` highest-step bundles, like the reference's
     ``tf.train.Saver`` default ``max_to_keep=5``
     (/root/reference/models/AcousticModel.py:526); ``keep <= 0`` disables
-    pruning."""
+    pruning.  ``weights_dtype="bfloat16"`` halves the bundle (committed
+    trained_models/ artifacts); restore upcasts into the f32 template."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     flat = _flatten(params)
+    if weights_dtype == "bfloat16":
+        flat = _encode_bf16(flat)
+    elif weights_dtype != "float32":
+        raise ValueError(f"Unsupported weights_dtype {weights_dtype!r}")
     flat["__step__"] = np.asarray(int(step), np.int64)
     flat["__learning_rate__"] = np.asarray(float(learning_rate), np.float64)
     name = f"{PREFIX}-{int(step)}.npz"
@@ -148,8 +191,46 @@ def restore(
         return None
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
+    flat = _decode_bf16(flat)
     step = int(flat.pop("__step__"))
     lr = float(flat.pop("__learning_rate__"))
     params = _unflatten_like(params_template, flat)
     logger.info("Restored model parameters from %s (global_step %d)", path, step)
     return params, step, lr
+
+
+def convert_bundle(
+    src_path: str, dst_dir: str, weights_dtype: str = "bfloat16"
+) -> str:
+    """Re-encode one bundle file into ``dst_dir`` (same name + pointer).
+
+    Used by the trained-model exporter to commit half-size bf16 bundles;
+    a float32 target round-trips an already-bf16 bundle losslessly."""
+    with np.load(src_path) as data:
+        flat = _decode_bf16({k: data[k] for k in data.files})
+    meta = {k: flat.pop(k) for k in ("__step__", "__learning_rate__")}
+    if weights_dtype == "bfloat16":
+        flat = _encode_bf16(flat)
+    elif weights_dtype == "float32":
+        # npz cannot hold bf16 descrs: a decoded-bf16 source upcasts.
+        import ml_dtypes
+
+        bf16 = np.dtype(ml_dtypes.bfloat16)
+        flat = {
+            k: v.astype(np.float32) if v.dtype == bf16 else v
+            for k, v in flat.items()
+        }
+    else:
+        raise ValueError(f"Unsupported weights_dtype {weights_dtype!r}")
+    flat.update(meta)
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = os.path.join(dst_dir, os.path.basename(src_path))
+    tmp = dst + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **flat)
+    os.replace(tmp, dst)
+    pointer_tmp = os.path.join(dst_dir, POINTER_FILE + ".tmp")
+    with open(pointer_tmp, "w") as fh:
+        json.dump({"latest": os.path.basename(dst)}, fh)
+    os.replace(pointer_tmp, os.path.join(dst_dir, POINTER_FILE))
+    return dst

@@ -1,34 +1,46 @@
 #!/usr/bin/env python
 """One CONTINUOUS flagship-shape accuracy session with decode-quality deltas.
 
-VERDICT r2 #1 (and Weak #1): the round-2 accuracy artifact came from an
-acoustically trivial corpus trained in fragmented per-round sessions — the
-PlateauPolicy history and Adam state reset every round, so LR decay never
-engaged, and no accuracy number ever exercised the repo's flagship decode
-features (beam search, LM shallow fusion).  This tool replaces that
-protocol:
+Round-4 protocol (VERDICT r3 "Next round" #1 and Weak #1).  The round-3
+artifact had three evidence gaps: the corpus was acoustically easy
+(isolated 90 ms tones with silence gaps — the AM near-memorized and every
+decode saturated), the held-out split was ~175 words (one word ≈ 0.57%
+WER, no uncertainty recorded), and the trained weights were discarded.
+This protocol closes all three:
 
-  1. Build a ``syllables`` corpus (tools/make_demo_corpus.render_syllables:
-     formant-like multi-tone characters, per-clip pitch jitter, per-char
-     duration jitter, broadband noise) with a held-out sentence split.
+  1. Build a COARTICULATED ``syllables`` corpus
+     (tools/make_demo_corpus.render_syllables_clean: continuous voicing,
+     formant glides across character boundaries, f0 declination) with a
+     disjoint held-out sentence split of >= 500 words.  Training clips
+     carry per-clip broadband noise drawn log-uniformly from a range;
+     held-out clips are rendered CLEAN once so an SNR sweep can decode
+     the same renders under several noise levels.
   2. Run ONE ``loop.train_acoustic`` session at the reference topology
      (3x1024, fbank-120 — trained_models/english/acoustic/README.md:44-67)
      with the loop's own eval cadence and plateau LR decay active
      (/root/reference/stt.py:219-231) — no restarts, so the decay history
      and optimizer state persist across the whole run.
   3. Train a char-LM on the TRAINING transcripts (train/lm_loop.py).
-  4. Decode the held-out split three ways — greedy, beam K, beam K + LM
-     shallow fusion (the reference ran its beam decoder as the default
-     quality path, /root/reference/models/AcousticModel.py:312) — and
-     record the WER/CER table, the train/eval curves and the LR trajectory
-     (decay visibly engaging) as one JSON artifact.
+  4. EXPORT the trained bundle (bf16 npz + hyperparams + README — the
+     analogue of the reference's trained_models/english/acoustic/), then
+     decode the held-out split FROM THE BUNDLE — greedy, beam K, beam K +
+     LM shallow fusion (the reference ran its beam decoder as the default
+     quality path, /root/reference/models/AcousticModel.py:312) — at each
+     sweep noise level, recording word/char totals, bootstrap CIs and a
+     PAIRED beam-vs-greedy delta per level.  Decoding from the bundle
+     means the committed WER table matches the committed weights exactly.
+  5. Stream a held-out subset through cli.StreamingTranscriber (greedy
+     and beam+LM) at several chunk sizes and record chunked-vs-one-shot
+     text agreement plus streaming WER (the reference's --record is its
+     flagship demo mode, /root/reference/stt.py:327-357).
 
 The committed benchmarks/flagship_accuracy.json comes from running this on
 the TPU chip; tests/test_flagship_protocol.py pins the protocol at toy
 scale on CPU.
 
 Usage:
-  python tools/flagship_accuracy_run.py --out benchmarks/flagship_accuracy.json
+  python tools/flagship_accuracy_run.py --out benchmarks/flagship_accuracy.json \
+      --artifact_dir trained_models/english-syllables
 """
 
 from __future__ import annotations
@@ -45,26 +57,74 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+INT16 = 32768.0
 
-def build_corpus(workdir: str, clips: int, seed: int, sr: int,
-                 noise_std: float, test_frac: float = 0.1):
-    """Syllables-mode corpus with a disjoint train/test sentence split."""
+
+def build_corpus(workdir: str, clips: int, test_clips: int, seed: int,
+                 sr: int, train_noise, loop_eval_noise: float):
+    """Coarticulated-syllables corpus with a disjoint held-out split.
+
+    Training clips render at per-clip noise drawn log-uniformly from the
+    ``train_noise`` (lo, hi) range and are written as a LibriSpeech-layout
+    corpus.  Held-out clips render CLEAN and are returned in memory so the
+    SNR sweep can add each eval noise level to the same renders; a
+    matched-noise copy is also written to disk for the training loop's
+    eval cadence.  Returns (train_set, loop_test_set, held_out) with
+    held_out = [(text, clean_signal_int16_scale_float)].
+    """
     import make_demo_corpus as gen
-
-    rng = np.random.default_rng(seed)
-    texts = gen.sample_sentences(clips, rng)
-    sigs = [gen.render_syllables(t, sr, rng, noise_std=noise_std)
-            for t in texts]
-    gen.write_corpus(workdir, texts, sigs, sr)
 
     from rnn_speech_tpu import corpus
 
-    dp = corpus.DataProcessor(os.path.join(workdir, "demo"))
-    dataset = dp.get_dataset()
-    n_test = max(1, int(len(dataset) * test_frac))
-    dataset = sorted(dataset, key=lambda item: item[0])
-    rng.shuffle(dataset)
-    return dataset[n_test:], dataset[:n_test]
+    rng = np.random.default_rng(seed)
+    texts = gen.sample_sentences(clips + test_clips, rng)
+    test_texts, train_texts = texts[:test_clips], texts[test_clips:]
+
+    lo, hi = train_noise
+    train_sigs = []
+    for text in train_texts:
+        std = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        clean = gen.render_syllables_clean(text, sr, rng)
+        train_sigs.append(np.clip(
+            clean + rng.normal(0, std, len(clean)), -32000, 32000
+        ).astype(np.int16))
+    gen.write_corpus(os.path.join(workdir, "train"), train_texts,
+                     train_sigs, sr)
+
+    held_out, loop_sigs = [], []
+    for text in test_texts:
+        clean = gen.render_syllables_clean(text, sr, rng)
+        held_out.append((text, clean))
+        loop_sigs.append(np.clip(
+            clean + rng.normal(0, loop_eval_noise, len(clean)),
+            -32000, 32000,
+        ).astype(np.int16))
+    gen.write_corpus(os.path.join(workdir, "test"), test_texts,
+                     loop_sigs, sr)
+
+    train_set = corpus.DataProcessor(
+        os.path.join(workdir, "train", "demo")).get_dataset()
+    loop_test_set = corpus.DataProcessor(
+        os.path.join(workdir, "test", "demo")).get_dataset()
+    return train_set, loop_test_set, held_out
+
+
+def noisy_points(held_out, eval_noise_levels, seed: int):
+    """{level: [(normalized_f32_signal, truth), ...]} — every level adds
+    its noise to the SAME clean renders (deltas across the sweep are
+    noise-only), with a level-keyed rng so the sweep is reproducible."""
+    points = {}
+    for level in eval_noise_levels:
+        rng = np.random.default_rng([seed, int(level)])
+        items = []
+        for text, clean in held_out:
+            sig = np.clip(
+                clean + rng.normal(0, float(level), len(clean)),
+                -32000, 32000,
+            ).astype(np.float32) / INT16
+            items.append((sig, text))
+        points[float(level)] = items
+    return points
 
 
 def read_curves(tb_dir: str, run_name: str):
@@ -83,44 +143,52 @@ def read_curves(tb_dir: str, run_name: str):
     return by_tag
 
 
-def export_artifact(artifact_dir: str, workdir: str, config,
-                    result: dict) -> None:
-    """Copy the run's final acoustic + LM checkpoints into a committable
-    ``trained_models/``-style bundle (the tpu-native analogue of the
-    reference's /root/reference/trained_models/english/acoustic/: Saver
-    checkpoint + hyperparams pickle + README with results and the repro
-    config).  The bundle is directly loadable: point ``checkpoint_dir``
-    at it and run ``--file`` / ``--evaluate`` / ``--generate_text``."""
-    import shutil
-
+def export_weights(artifact_dir: str, config,
+                   weights_dtype: str = "bfloat16") -> dict:
+    """Re-encode the run's final acoustic + LM checkpoints into a
+    committable ``trained_models/``-style bundle (the tpu-native analogue
+    of the reference's trained_models/english/acoustic/: Saver checkpoint
+    + hyperparams pickle).  bf16 halves the committed size; restore
+    upcasts into the f32 param template.  Raises if the acoustic
+    checkpoint cannot be found — a weights-free "bundle" must never
+    silently claim success (ADVICE r3)."""
     from rnn_speech_tpu.config import SIDECAR_NAME
     from rnn_speech_tpu.train import checkpoint as ckpt
 
     copied = {}
     for sub in ("acoustic", "language"):
-        src_dir = os.path.join(config.checkpoint_dir, sub)
-        src = ckpt.latest_path(src_dir)
+        src = ckpt.latest_path(os.path.join(config.checkpoint_dir, sub))
         if src is None:
             continue
-        dst_dir = os.path.join(artifact_dir, sub)
-        os.makedirs(dst_dir, exist_ok=True)
-        dst = os.path.join(dst_dir, os.path.basename(src))
-        shutil.copyfile(src, dst)
-        with open(os.path.join(dst_dir, ckpt.POINTER_FILE), "w") as fh:
-            json.dump({"latest": os.path.basename(src)}, fh)
+        ckpt.convert_bundle(src, os.path.join(artifact_dir, sub),
+                            weights_dtype=weights_dtype)
         copied[sub] = os.path.basename(src)
+    if "acoustic" not in copied:
+        raise RuntimeError(
+            f"No acoustic checkpoint under {config.checkpoint_dir!r} — "
+            "refusing to export a weights-free bundle"
+        )
+    if "language" not in copied:
+        print("WARNING: no language checkpoint found; bundle has no LM",
+              file=sys.stderr)
 
     # Hyperparams sidecar: the artifact is self-describing, so a user can
-    # reconstruct the exact Config (the checkpoint_dir field is rewritten
-    # to the bundle itself).
+    # reconstruct the exact Config (checkpoint_dir rewritten to the
+    # bundle itself).
     portable = config.replace(checkpoint_dir=artifact_dir,
                               tensorboard_dir="")
     with open(os.path.join(artifact_dir, SIDECAR_NAME), "w") as fh:
         json.dump(portable.to_dict(), fh, indent=2)
+    return copied
 
-    cfg, table = result["config"], result["wer_table"]
+
+def export_readme(artifact_dir: str, result: dict, copied: dict,
+                  weights_dtype: str) -> None:
+    from rnn_speech_tpu.config import SIDECAR_NAME
+
+    cfg = result["config"]
     lines = [
-        "# Trained model bundle (synthetic syllables corpus)",
+        "# Trained model bundle (coarticulated syllables corpus)",
         "",
         "Produced by `tools/flagship_accuracy_run.py` — ONE continuous",
         "`loop.train_acoustic` session (plateau LR decay active,",
@@ -131,16 +199,38 @@ def export_artifact(artifact_dir: str, workdir: str, config,
         "this bundle pins the full train->checkpoint->decode->WER loop on",
         "a held-out split of the hardened synthetic corpus instead.",
         "",
-        "## Results (held-out split, {} clips)".format(
-            table["greedy"]["clips"]),
+        "All WER/CER below were decoded FROM THIS BUNDLE (the committed",
+        f"{weights_dtype} weights), not from the in-memory f32 params.",
         "",
-        "| decode | WER % | CER % |",
-        "|---|---|---|",
     ]
-    for name, entry in table.items():
-        lines.append(f"| {name} | {entry['wer']} | {entry['cer']} |")
+    for level, table in sorted(result["noise_sweep"].items(),
+                               key=lambda kv: float(kv[0])):
+        greedy = table["greedy"]
+        lines += [
+            f"## Held-out split at eval noise sigma {level} "
+            f"({greedy['clips']} clips, {greedy['n_words']} words)",
+            "",
+            "| decode | WER % | 95% CI | CER % | word edits |",
+            "|---|---|---|---|---|",
+        ]
+        for name, entry in table.items():
+            ci = entry["wer_ci95"]
+            lines.append(
+                f"| {name} | {entry['wer']} | [{ci[0]}, {ci[1]}] "
+                f"| {entry['cer']} | {entry['word_edits']} |"
+            )
+        lines.append("")
+    if result.get("streaming"):
+        lines += ["## Streaming (chunked vs one-shot, same engine)", ""]
+        for mode, data in result["streaming"].items():
+            for cs, rec in data["chunks"].items():
+                lines.append(
+                    f"- `{mode}` chunk {cs}s: agreement "
+                    f"{rec['agreement_pct']}% over {rec['clips']} clips, "
+                    f"streaming WER {rec['wer']}%"
+                )
+        lines.append("")
     lines += [
-        "",
         "## Training protocol",
         "",
         "```json",
@@ -152,7 +242,7 @@ def export_artifact(artifact_dir: str, workdir: str, config,
     ]
     for sub, name in copied.items():
         lines.append(f"- `{sub}/{name}` — final {sub} checkpoint "
-                     "(params + step + LR, npz)")
+                     f"(params + step + LR, {weights_dtype} npz)")
     lines += [
         f"- `{SIDECAR_NAME}` — the exact Config "
         "(fork-or-restore compatible)",
@@ -166,25 +256,45 @@ def export_artifact(artifact_dir: str, workdir: str, config,
         "python stt.py --config <config-pointing-here> --file clip.wav",
         "```",
         "",
-        "Regenerate the exact corpus with "
-        "`tools/make_demo_corpus.py --mode syllables` "
-        f"(seed {cfg['seed']}, noise_std {cfg['noise_std']}).",
+        "Regenerate the exact corpus (train + held-out split, per-clip",
+        "noise draws included) via `tools.flagship_accuracy_run.build_corpus`",
+        f"with clips={cfg['clips']}, test_clips={cfg['test_clips']}, "
+        f"seed={cfg['seed']},",
+        f"train_noise={tuple(cfg['train_noise'])}, "
+        f"loop_eval_noise={cfg['headline_noise_std']}; standalone corpora",
+        "of the same font: `tools/make_demo_corpus.py --mode syllables",
+        "--clips N --seed S --noise_std X`.",
     ]
     with open(os.path.join(artifact_dir, "README.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"Exported trained bundle to {artifact_dir}")
 
 
-def decode_table(config, char_map, test_set, beam_width: int,
-                 lm_weight: float, decode_batch: int):
-    """Held-out WER/CER for greedy / beam / beam+LM on the FINAL params.
+def _bootstrap_ci(values, n_boot: int = 1000, seed: int = 0):
+    """Percentile-bootstrap 95% CI of the mean, as percentages."""
+    values = np.asarray(values, np.float64)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(values), (n_boot, len(values)))
+    means = values[idx].mean(axis=1)
+    return [round(100.0 * float(np.percentile(means, 2.5)), 2),
+            round(100.0 * float(np.percentile(means, 97.5)), 2)]
 
-    All clips are padded to one fixed audio width, so each decode mode
-    costs exactly one XLA compile (beam programs compile for minutes over
-    a tunneled TPU link — width buckets would multiply that)."""
+
+def decode_table(config, char_map, eval_points, beam_width: int,
+                 lm_weight: float, decode_batch: int):
+    """Held-out WER/CER for greedy / beam / beam+LM at each sweep level.
+
+    ``eval_points``: {noise_level: [(normalized_signal, truth)]}.  All
+    clips pad to one fixed audio width, so each decode mode costs exactly
+    one XLA compile across the whole sweep (beam programs compile for
+    minutes over a tunneled TPU link — width buckets would multiply
+    that).  Per mode and level the entry carries the reference-convention
+    per-clip mean WER/CER (x100), corpus-level totals (word/char edits
+    over word/char counts — VERDICT r3 Weak #1 asked for counts), and a
+    bootstrap CI; the return also includes a PAIRED beam-vs-greedy delta
+    per level (resampling per-clip WER differences)."""
     import jax.numpy as jnp
 
-    from rnn_speech_tpu import audio_io
     from rnn_speech_tpu import cli as cli_mod
     from rnn_speech_tpu.ops.frontend_jax import featurize
     from rnn_speech_tpu.train.metrics import calculate_cer, calculate_wer
@@ -194,33 +304,6 @@ def decode_table(config, char_map, test_set, beam_width: int,
     )
     lm = cli_mod._load_lm_stepper(config, char_map, lm_weight)
 
-    # Featurize once; decode the same feature batches under each mode.
-    audio_batches = []
-    truths_batches = []
-    cur_a, cur_t = [], []
-    for path, truth, _ in test_set:
-        sig, _sr = audio_io.load(path, sr=pcfg.sample_rate)
-        sig = sig[: pcfg.max_samples]
-        cur_a.append(sig)
-        cur_t.append(truth)
-        if len(cur_a) == decode_batch:
-            audio_batches.append(cur_a)
-            truths_batches.append(cur_t)
-            cur_a, cur_t = [], []
-    if cur_a:
-        audio_batches.append(cur_a)
-        truths_batches.append(cur_t)
-
-    feat_batches = []
-    for batch in audio_batches:
-        audio = np.zeros((decode_batch, pcfg.max_samples), np.float32)
-        lengths = np.zeros((decode_batch,), np.int32)
-        for i, sig in enumerate(batch):
-            audio[i, : len(sig)] = sig
-            lengths[i] = len(sig)
-        feats, nf = featurize(fe, jnp.asarray(audio), jnp.asarray(lengths))
-        feat_batches.append((feats, nf))
-
     modes = {
         "greedy": (1, None, 0.0),
         f"beam{beam_width}": (beam_width, None, 0.0),
@@ -228,51 +311,177 @@ def decode_table(config, char_map, test_set, beam_width: int,
     if lm is not None:
         modes[f"beam{beam_width}_lm"] = (beam_width, lm, lm_weight)
 
-    table = {}
-    for name, (width, lm_arg, w) in modes.items():
-        infer, _ = cli_mod._make_infer(model_cfg, width, lm_arg, w)
-        wers, cers = [], []
-        t0 = time.time()
-        for (feats, nf), truths in zip(feat_batches, truths_batches):
-            labels, lens = infer(params, feats, nf)
-            labels = np.asarray(labels)
-            lens = np.asarray(lens)
-            for b, truth in enumerate(truths):
-                hyp = char_map.decode(list(labels[b, : int(lens[b])]))
-                truth_norm = truth.lower()
-                hyp_norm = hyp.lower().strip()
-                n_words = max(len(truth_norm.split()), 1)
-                n_chars = max(len(truth_norm), 1)
-                wers.append(min(
-                    1.0, calculate_wer(truth_norm, hyp_norm) / n_words
-                ))
-                cers.append(min(
-                    1.0, calculate_cer(truth_norm, hyp_norm) / n_chars
-                ))
-        table[name] = {
-            "wer": round(100.0 * float(np.mean(wers)), 2),
-            "cer": round(100.0 * float(np.mean(cers)), 2),
-            "clips": len(wers),
-            "decode_seconds": round(time.time() - t0, 1),
+    # Featurize once per level; decode the same feature batches per mode.
+    feats_by_level = {}
+    for level, items in eval_points.items():
+        batches, truth_batches, cur_a, cur_t = [], [], [], []
+        for sig, truth in items:
+            cur_a.append(sig[: pcfg.max_samples])
+            cur_t.append(truth)
+            if len(cur_a) == decode_batch:
+                batches.append(cur_a)
+                truth_batches.append(cur_t)
+                cur_a, cur_t = [], []
+        if cur_a:
+            batches.append(cur_a)
+            truth_batches.append(cur_t)
+        feat_batches = []
+        for batch in batches:
+            audio = np.zeros((decode_batch, pcfg.max_samples), np.float32)
+            lengths = np.zeros((decode_batch,), np.int32)
+            for i, sig in enumerate(batch):
+                audio[i, : len(sig)] = sig
+                lengths[i] = len(sig)
+            feat_batches.append(featurize(
+                fe, jnp.asarray(audio), jnp.asarray(lengths)
+            ))
+        feats_by_level[level] = (feat_batches, truth_batches)
+
+    sweep, paired = {}, {}
+    for level, (feat_batches, truth_batches) in feats_by_level.items():
+        table, per_clip_wer = {}, {}
+        for name, (width, lm_arg, w) in modes.items():
+            infer, _ = cli_mod._make_infer(model_cfg, width, lm_arg, w)
+            wers, cers = [], []
+            w_edits = c_edits = n_words_tot = n_chars_tot = 0
+            t0 = time.time()
+            for (feats, nf), truths in zip(feat_batches, truth_batches):
+                labels, lens = infer(params, feats, nf)
+                labels, lens = np.asarray(labels), np.asarray(lens)
+                for b, truth in enumerate(truths):
+                    hyp = char_map.decode(list(labels[b, : int(lens[b])]))
+                    truth_norm = truth.lower()
+                    hyp_norm = hyp.lower().strip()
+                    we = calculate_wer(truth_norm, hyp_norm)
+                    ce = calculate_cer(truth_norm, hyp_norm)
+                    n_words = max(len(truth_norm.split()), 1)
+                    n_chars = max(len(truth_norm), 1)
+                    wers.append(min(1.0, we / n_words))
+                    cers.append(min(1.0, ce / n_chars))
+                    w_edits += int(we)
+                    c_edits += int(ce)
+                    n_words_tot += n_words
+                    n_chars_tot += n_chars
+            per_clip_wer[name] = np.asarray(wers)
+            table[name] = {
+                "wer": round(100.0 * float(np.mean(wers)), 2),
+                "wer_ci95": _bootstrap_ci(wers),
+                "cer": round(100.0 * float(np.mean(cers)), 2),
+                "corpus_wer": round(100.0 * w_edits / n_words_tot, 2),
+                "clips": len(wers),
+                "n_words": n_words_tot,
+                "n_chars": n_chars_tot,
+                "word_edits": w_edits,
+                "char_edits": c_edits,
+                "decode_seconds": round(time.time() - t0, 1),
+            }
+            print(f"decode[noise={level}][{name}]: "
+                  f"WER {table[name]['wer']}% CER {table[name]['cer']}% "
+                  f"({w_edits}/{n_words_tot} word edits)", flush=True)
+        beam_key = f"beam{beam_width}"
+        deltas = per_clip_wer["greedy"] - per_clip_wer[beam_key]
+        rng = np.random.default_rng(1)
+        idx = rng.integers(0, len(deltas), (1000, len(deltas)))
+        boot = deltas[idx].mean(axis=1)
+        paired[level] = {
+            "delta_wer": round(100.0 * float(deltas.mean()), 2),
+            "delta_wer_ci95": [
+                round(100.0 * float(np.percentile(boot, 2.5)), 2),
+                round(100.0 * float(np.percentile(boot, 97.5)), 2),
+            ],
+            "delta_word_edits": int(table["greedy"]["word_edits"]
+                                    - table[beam_key]["word_edits"]),
         }
-        print(f"decode[{name}]: WER {table[name]['wer']}% "
-              f"CER {table[name]['cer']}%", flush=True)
-    return table
+        sweep[str(level)] = table
+    return sweep, {str(k): v for k, v in paired.items()}
 
 
-def run(workdir: str, out_path, *, clips: int, layers: int, hidden: int,
-        batch: int, max_steps: int, steps_per_checkpoint: int, lr: float,
-        beam_width: int, lm_weight: float, seed: int = 0,
-        sr: int = 16000, noise_std: float = 900.0,
+def streaming_table(config, char_map, items, beam_width: int,
+                    lm_weight: float, chunk_seconds_list,
+                    max_clips: int = 24):
+    """Chunked-vs-one-shot agreement + streaming WER on trained weights.
+
+    One StreamingTranscriber per mode (compiled once; ``reset()`` between
+    utterances): each clip is transcribed one-shot (single feed + finish)
+    as the whole-clip reference, then re-fed in fixed chunks at each
+    chunk size — the chunked text must reproduce the one-shot text
+    (ops/decode.py's carry contract, pinned at toy scale in
+    tests/test_streaming.py; this measures it at flagship scale on
+    trained weights — VERDICT r3 #5)."""
+    from rnn_speech_tpu import cli as cli_mod
+    from rnn_speech_tpu.train.metrics import calculate_wer
+
+    items = items[:max_clips]
+    out = {}
+    mode_specs = {"greedy": (1, None, 0.0)}
+    lm = cli_mod._load_lm_stepper(config, char_map, lm_weight)
+    if lm is not None:
+        mode_specs[f"beam{beam_width}_lm"] = (beam_width, lm, lm_weight)
+    for mode, (width, lm_arg, w) in mode_specs.items():
+        tr = cli_mod.StreamingTranscriber(
+            config, char_map, chunk_seconds=max(chunk_seconds_list),
+            beam_width=width, lm=lm_arg, lm_weight=w,
+        )
+        oneshot_texts, oneshot_wers = [], []
+        for sig, truth in items:
+            tr.reset()
+            text = tr.feed(sig) + tr.finish()
+            oneshot_texts.append(text)
+            truth_norm = truth.lower()
+            n_words = max(len(truth_norm.split()), 1)
+            oneshot_wers.append(min(1.0, calculate_wer(
+                truth_norm, text.lower().strip()) / n_words))
+        chunks = {}
+        for cs in chunk_seconds_list:
+            step = max(1, int(round(cs * tr.sample_rate)))
+            agree, wers = 0, []
+            for (sig, truth), ref_text in zip(items, oneshot_texts):
+                tr.reset()
+                pieces = [
+                    tr.feed(sig[off: off + step])
+                    for off in range(0, len(sig), step)
+                ]
+                text = "".join(pieces) + tr.finish()
+                agree += int(text == ref_text)
+                truth_norm = truth.lower()
+                n_words = max(len(truth_norm.split()), 1)
+                wers.append(min(1.0, calculate_wer(
+                    truth_norm, text.lower().strip()) / n_words))
+            chunks[str(cs)] = {
+                "agreement_pct": round(100.0 * agree / len(items), 1),
+                "clips": len(items),
+                "wer": round(100.0 * float(np.mean(wers)), 2),
+            }
+            print(f"streaming[{mode}][chunk={cs}s]: "
+                  f"{chunks[str(cs)]['agreement_pct']}% agreement, "
+                  f"WER {chunks[str(cs)]['wer']}%", flush=True)
+        out[mode] = {
+            "oneshot_wer": round(100.0 * float(np.mean(oneshot_wers)), 2),
+            "chunks": chunks,
+        }
+    return out
+
+
+def run(workdir: str, out_path, *, clips: int, test_clips: int, layers: int,
+        hidden: int, batch: int, max_steps: int, steps_per_checkpoint: int,
+        lr: float, beam_width: int, lm_weight: float, seed: int = 0,
+        sr: int = 16000, train_noise=(300.0, 3600.0),
+        eval_noise_levels=(900.0, 2400.0, 4800.0),
         max_input_seq_length: int = 600, max_target_seq_length: int = 80,
         lm_layers: int = 1, lm_hidden: int = 256, lm_steps: int = 400,
         decode_batch: int = 10, frame_stack: int = 1,
-        artifact_dir: str = "") -> dict:
+        artifact_dir: str = "", weights_dtype: str = "bfloat16",
+        streaming_chunk_seconds=(0.4, 1.2), streaming_max_clips: int = 24,
+        run_streaming: bool = True) -> dict:
     from rnn_speech_tpu.config import Config, LmConfig, TpuConfig
     from rnn_speech_tpu.models.recognizer import SpeechRecognizer
     from rnn_speech_tpu.train import lm_loop, loop
 
-    train_set, test_set = build_corpus(workdir, clips, seed, sr, noise_std)
+    eval_noise_levels = sorted(float(x) for x in eval_noise_levels)
+    headline_noise = eval_noise_levels[len(eval_noise_levels) // 2]
+    train_set, loop_test_set, held_out = build_corpus(
+        workdir, clips, test_clips, seed, sr, train_noise, headline_noise
+    )
     char_map = SpeechRecognizer("english").get_char_map()
     tb_dir = os.path.join(workdir, "tb")
     os.makedirs(tb_dir, exist_ok=True)
@@ -296,7 +505,7 @@ def run(workdir: str, out_path, *, clips: int, layers: int, hidden: int,
     # --- 2. one continuous acoustic session -----------------------------
     t0 = time.time()
     loop.train_acoustic(
-        config, list(train_set), list(test_set), char_map,
+        config, list(train_set), list(loop_test_set), char_map,
         max_steps=max_steps, tb_name="flagship",
     )
     train_seconds = time.time() - t0
@@ -314,23 +523,48 @@ def run(workdir: str, out_path, *, clips: int, layers: int, hidden: int,
         config, train_texts, char_map, max_steps=lm_steps
     )
 
-    # --- 4. decode-quality deltas on the held-out split ------------------
-    table = decode_table(
-        config, char_map, test_set, beam_width, lm_weight, decode_batch
+    # --- 4. export the bundle, then decode FROM it -----------------------
+    artifact_dir = artifact_dir or os.path.join(workdir, "bundle")
+    copied = export_weights(artifact_dir, config, weights_dtype)
+    bundle_config = config.replace(checkpoint_dir=artifact_dir,
+                                   tensorboard_dir="")
+
+    eval_points = noisy_points(held_out, eval_noise_levels, seed)
+    sweep, paired = decode_table(
+        bundle_config, char_map, eval_points, beam_width, lm_weight,
+        decode_batch,
     )
 
-    greedy_wer = table["greedy"]["wer"]
+    # --- 5. streaming at flagship scale on the trained bundle -----------
+    streaming = {}
+    if run_streaming:
+        streaming = streaming_table(
+            bundle_config, char_map, eval_points[headline_noise],
+            beam_width, lm_weight, list(streaming_chunk_seconds),
+            max_clips=streaming_max_clips,
+        )
+
+    headline = sweep[str(headline_noise)]
+    greedy_wer = headline["greedy"]["wer"]
     beam_key = f"beam{beam_width}"
+    n_words = headline["greedy"]["n_words"]
+    one_word_pct = 100.0 / max(n_words, 1)
     result = {
         "task": "flagship-shape continuous accuracy run "
-                "(syllables corpus, held-out split)",
+                "(coarticulated syllables corpus, held-out split, "
+                "SNR sweep decoded from the exported bundle)",
         "config": {
-            "clips": clips, "train": len(train_set), "test": len(test_set),
+            "clips": clips, "test_clips": test_clips,
+            "train": len(train_set), "test": len(held_out),
             "layers": layers, "hidden": hidden, "batch": batch,
             "features": "fbank-120", "lr": lr, "seed": seed,
-            "noise_std": noise_std, "max_steps": max_steps,
+            "train_noise": list(train_noise),
+            "eval_noise_levels": eval_noise_levels,
+            "headline_noise_std": headline_noise,
+            "max_steps": max_steps,
             "steps_per_checkpoint": steps_per_checkpoint,
             "beam_width": beam_width, "lm_weight": lm_weight,
+            "weights_dtype": weights_dtype,
             "lm": {"layers": lm_layers, "hidden": lm_hidden,
                    "steps": lm_step},
             "train_seconds": round(train_seconds, 1),
@@ -341,20 +575,33 @@ def run(workdir: str, out_path, *, clips: int, layers: int, hidden: int,
             "learning_rate": lr_curve,
         },
         "lr_decays_engaged": n_decays,
-        "wer_table": table,
+        "headline_noise_std": headline_noise,
+        "wer_table": headline,
+        "noise_sweep": sweep,
+        "beam_vs_greedy_paired": paired,
         "decode_delta_vs_greedy": {
             name: round(greedy_wer - entry["wer"], 2)
-            for name, entry in table.items() if name != "greedy"
+            for name, entry in headline.items() if name != "greedy"
         },
-        "beam_improves": table[beam_key]["wer"] <= greedy_wer,
+        # True only where pure beam beats greedy OUTSIDE the one-word
+        # floor at that level (VERDICT r3 Missing #2).
+        "beam_improves_beyond_floor": {
+            level: bool(
+                table["greedy"]["wer"] - table[beam_key]["wer"]
+                > 100.0 / max(table["greedy"]["n_words"], 1)
+            )
+            for level, table in sweep.items()
+        },
+        "one_word_wer_pct": round(one_word_pct, 3),
+        "streaming": streaming,
+        "artifact_dir": artifact_dir,
     }
     if out_path:
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "w") as fh:
             json.dump(result, fh, indent=2)
         print(f"Wrote {out_path}")
-    if artifact_dir:
-        export_artifact(artifact_dir, workdir, config, result)
+    export_readme(artifact_dir, result, copied, weights_dtype)
     return result
 
 
@@ -362,7 +609,10 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("--out", default="benchmarks/flagship_accuracy.json")
     parser.add_argument("--workdir", default=None)
-    parser.add_argument("--clips", type=int, default=500)
+    parser.add_argument("--clips", type=int, default=1100,
+                        help="training sentences (2-5 words each)")
+    parser.add_argument("--test_clips", type=int, default=160,
+                        help="held-out sentences (>=500 words at default)")
     parser.add_argument("--layers", type=int, default=3)
     parser.add_argument("--hidden", type=int, default=1024)
     parser.add_argument("--batch", type=int, default=32)
@@ -372,24 +622,36 @@ def main(argv=None) -> int:
     parser.add_argument("--beam_width", type=int, default=16)
     parser.add_argument("--lm_weight", type=float, default=0.4)
     parser.add_argument("--lm_steps", type=int, default=400)
-    parser.add_argument("--noise_std", type=float, default=900.0)
+    parser.add_argument("--train_noise", type=float, nargs=2,
+                        default=(300.0, 3600.0),
+                        help="log-uniform per-clip training noise range")
+    parser.add_argument("--eval_noise_levels", type=float, nargs="+",
+                        default=(900.0, 2400.0, 4800.0))
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--decode_batch", type=int, default=10)
+    parser.add_argument("--no_streaming", action="store_true")
+    parser.add_argument("--streaming_max_clips", type=int, default=24)
     parser.add_argument("--artifact_dir", default="",
-                        help="also export a committable trained_models/-"
-                             "style bundle (checkpoints + hyperparams + "
-                             "README) to this directory")
+                        help="export the committable trained_models/-"
+                             "style bundle (bf16 checkpoints + hyperparams"
+                             " + README) here; default: <workdir>/bundle")
     args = parser.parse_args(argv)
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="rst_flagship_")
     result = run(
-        workdir, args.out, clips=args.clips, layers=args.layers,
-        hidden=args.hidden, batch=args.batch, max_steps=args.max_steps,
+        workdir, args.out, clips=args.clips, test_clips=args.test_clips,
+        layers=args.layers, hidden=args.hidden, batch=args.batch,
+        max_steps=args.max_steps,
         steps_per_checkpoint=args.steps_per_checkpoint, lr=args.lr,
         beam_width=args.beam_width, lm_weight=args.lm_weight,
-        lm_steps=args.lm_steps, noise_std=args.noise_std, seed=args.seed,
-        artifact_dir=args.artifact_dir,
+        lm_steps=args.lm_steps, train_noise=tuple(args.train_noise),
+        eval_noise_levels=tuple(args.eval_noise_levels), seed=args.seed,
+        decode_batch=args.decode_batch, artifact_dir=args.artifact_dir,
+        run_streaming=not args.no_streaming,
+        streaming_max_clips=args.streaming_max_clips,
     )
-    print(json.dumps(result["wer_table"], indent=2))
+    print(json.dumps(result["noise_sweep"], indent=2))
+    print(json.dumps(result["beam_vs_greedy_paired"], indent=2))
     return 0
 
 

@@ -95,7 +95,7 @@ def _alpha_kernel(K, lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
     NI = pl.num_programs(0)
 
     for k in range(K):
-        lp = lp_ref[k]                                    # (B, S)
+        lp = lp_ref[k].astype(jnp.float32)                # (B, S)
 
         def _update(lp=lp, k=k):
             alpha = a_s[:]
@@ -117,7 +117,7 @@ def _alpha_kernel(K, lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
             _update()
 
         if alphas_ref is not None:
-            alphas_ref[k] = a_s[:]
+            alphas_ref[k] = a_s[:].astype(alphas_ref.dtype)
 
     @pl.when(i == NI - 1)
     def _():
@@ -129,11 +129,17 @@ def _alpha_kernel_lossonly(K, lp_ref, live_ref, skip_ref, last_ref, a_s):
     _alpha_kernel(K, lp_ref, live_ref, skip_ref, None, last_ref, a_s)
 
 
-def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True):
+def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True,
+                   stream_dtype=jnp.float32):
     """lp_ext (T, B, S), live (T, 1, B) float, skip_ok (B, S) float; T must
     be a multiple of ``_time_block(B, S)`` (callers pad with live=0 steps,
     which the freeze rule makes no-ops).  Returns (alphas (T, B, S) or
-    None, last (B, S))."""
+    None, last (B, S)).  ``stream_dtype`` exists for measurement only and
+    must stay f32 in production: alphas are LOG-space values whose
+    magnitude grows ~linearly in t (|alpha| ~ 1e4 at T=3510), so a 8-bit
+    mantissa loses the ABSOLUTE log precision the posterior
+    exp(alpha + beta - logP) needs — bf16 here was measured at ~13 %
+    relative gradient error already at T=14."""
     T, B, S = lp_ext.shape
     K = _time_block(B, S)
     assert T % K == 0, (T, K)
@@ -174,7 +180,7 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True):
             pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, S), stream_dtype),
             jax.ShapeDtypeStruct((B, S), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
@@ -210,11 +216,11 @@ def _beta_post_kernel(K, lp_ref, alphas_ref, islast_ref, live_ref,
         beta = _log_add3(term0, b1, b2)
         islast = islast_ref[k, 0][:, None]                # (B, 1) float
         beta = jnp.where(islast > 0, beta_init_ref[:], beta)
-        gamma = alphas_ref[k] + beta - logp_ref[:, :1]
+        gamma = alphas_ref[k].astype(jnp.float32) + beta - logp_ref[:, :1]
         live = live_ref[k, 0][:, None]
         post = jnp.exp(jnp.minimum(gamma, 0.0)) * live
         post_ref[k] = post.astype(post_ref.dtype)
-        bstar_s[:] = beta + lp_ref[k]
+        bstar_s[:] = beta + lp_ref[k].astype(jnp.float32)
 
 
 def _posteriors_pallas(lp_ext, alphas, islast, live, skipn2, beta_init,
@@ -286,10 +292,22 @@ def _split_matmul(x, onehot, spec, terms=2):
     return out
 
 
-def _lattice_inputs(log_probs, logit_lengths, labels, label_lengths, blank_id):
+def _lattice_inputs(log_probs, logit_lengths, labels, label_lengths,
+                    blank_id):
     """Returns lattice streams padded in time to a multiple of the kernel
     time block (padded steps carry live=0, which freezes the alpha
-    recursion and zeroes the posteriors — exact no-ops)."""
+    recursion and zeroes the posteriors — exact no-ops).
+
+    The lp lattice stays f32 — both the forward alpha recursion and the
+    backward's alpha re-run SUM it over thousands of steps, where bf16
+    input rounding would compound as a log-space random walk (measured
+    ~17 % relative gradient error already at T=14).  But it is built with
+    ONE ``Precision.HIGHEST`` einsum rather than the hand-rolled 3-term
+    split-matmul: XLA's own multi-pass f32 emulation gives the same
+    bf16-exact-term decomposition internally without materializing the
+    per-term (T, B, S) f32 products — the allocation family (3×~2.1 GB at
+    whole-sequence B=128 reference shapes) that kept B=128 training from
+    fitting HBM."""
     T, B, V = log_probs.shape
     ext, skip_ok = _prepare(labels, blank_id, V)
     S = ext.shape[1]
@@ -297,7 +315,11 @@ def _lattice_inputs(log_probs, logit_lengths, labels, label_lengths, blank_id):
     if Tp != T:
         log_probs = jnp.pad(log_probs, ((0, Tp - T), (0, 0), (0, 0)))
     onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)    # (B, S, V)
-    lp_ext = _split_matmul(log_probs, onehot, "tbv,bsv->tbs", terms=3)
+    lp_ext = jnp.einsum(
+        "tbv,bsv->tbs", log_probs, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     live = (
         jnp.arange(Tp)[:, None] < logit_lengths[None, :]
     ).astype(jnp.float32)[:, None, :]                     # (Tp, 1, B)
@@ -363,6 +385,8 @@ def _ctc_bwd(blank_id, post_dtype, residuals, g):
     # Re-run the alpha recursion from the saved lp_ext — bit-identical to
     # the forward's lattice (same kernel, same inputs) for one VPU pass,
     # with none of the split-matmul temps a lp_ext recompute would cost.
+    # The stream stays f32: see _alphas_pallas on why bf16 cannot hold
+    # log-space alphas.
     alphas, _ = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=True)
 
     # Terminal beta at each row's last valid frame.

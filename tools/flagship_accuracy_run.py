@@ -465,7 +465,7 @@ def streaming_table(config, char_map, items, beam_width: int,
 def run(workdir: str, out_path, *, clips: int, test_clips: int, layers: int,
         hidden: int, batch: int, max_steps: int, steps_per_checkpoint: int,
         lr: float, beam_width: int, lm_weight: float, seed: int = 0,
-        sr: int = 16000, train_noise=(300.0, 3600.0),
+        sr: int = 0, train_noise=(300.0, 3600.0),
         eval_noise_levels=(900.0, 2400.0, 4800.0),
         max_input_seq_length: int = 600, max_target_seq_length: int = 80,
         lm_layers: int = 1, lm_hidden: int = 256, lm_steps: int = 400,
@@ -476,6 +476,20 @@ def run(workdir: str, out_path, *, clips: int, test_clips: int, layers: int,
     from rnn_speech_tpu.config import Config, LmConfig, TpuConfig
     from rnn_speech_tpu.models.recognizer import SpeechRecognizer
     from rnn_speech_tpu.train import lm_loop, loop
+    from rnn_speech_tpu.train.pipeline import PipelineConfig
+
+    # The held-out renders are fed RAW into the inference frontend
+    # (decode_table/streaming_table never resample), while training clips
+    # pass through audio_io.load(sr=pipeline rate).  Rendering at any
+    # other rate therefore skews eval features vs training features —
+    # the corpus must render at the pipeline rate.
+    pipeline_sr = PipelineConfig(batch_size=1).sample_rate
+    sr = sr or pipeline_sr
+    if sr != pipeline_sr:
+        raise ValueError(
+            f"corpus sample rate {sr} != inference pipeline rate "
+            f"{pipeline_sr}: held-out renders are decoded without "
+            "resampling, so the rates must match")
 
     eval_noise_levels = sorted(float(x) for x in eval_noise_levels)
     headline_noise = eval_noise_levels[len(eval_noise_levels) // 2]

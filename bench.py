@@ -86,6 +86,8 @@ def _stack_flops(T_frames: int, B: int, *, backward: bool = False,
 
 
 def bench_tpu() -> float:
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -93,11 +95,13 @@ def bench_tpu() -> float:
     from rnn_speech_tpu.ops import decode
     from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend
 
+    on_tpu = jax.default_backend() != "cpu"
     fe = DeviceFrontend("fbank", sr=SR, max_samples=MAX_SAMPLES)
     cfg = acoustic.AcousticConfig(
         num_layers=LAYERS, hidden_size=HIDDEN, input_dim=fe.feature_size,
         num_labels=LABELS, compute_dtype=jnp.bfloat16,
-        use_pallas=jax.default_backend() != "cpu",
+        use_pallas=on_tpu,
+        wavefront=on_tpu and os.environ.get("RST_WAVEFRONT", "1") != "0",
     )
     params = acoustic.init_params(jax.random.PRNGKey(0), cfg)
     states = acoustic.zero_state(cfg, BATCH)
@@ -199,6 +203,7 @@ def _bench_train_once() -> dict:
     cfg = acoustic.AcousticConfig(
         num_layers=LAYERS, hidden_size=HIDDEN, input_dim=fe.feature_size,
         num_labels=LABELS, compute_dtype=jnp.bfloat16, use_pallas=on_tpu,
+        wavefront=on_tpu and os.environ.get("RST_WAVEFRONT", "1") != "0",
     )
     chunk, res_mode = acoustic.training_memory_plan(cfg, T_FRAMES, B)
     if os.environ.get("RST_TRAIN_CHUNK") is not None:
@@ -267,6 +272,8 @@ def bench_beam(beam_width: int, with_lm: bool = False,
     maximally frequent and can misrepresent trained decode cost
     (VERDICT r2 #6).  ``sr`` follows the fixture's training sample rate
     (frame hop is 10 ms either way, so T and the decode shapes match)."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -274,12 +281,14 @@ def bench_beam(beam_width: int, with_lm: bool = False,
     from rnn_speech_tpu.ops import decode
     from rnn_speech_tpu.ops.frontend_jax import DeviceFrontend
 
+    on_tpu = jax.default_backend() != "cpu"
     max_samples = int(sr * SECONDS)
     fe = DeviceFrontend("fbank", sr=sr, max_samples=max_samples)
     cfg = acoustic.AcousticConfig(
         num_layers=LAYERS, hidden_size=HIDDEN, input_dim=fe.feature_size,
         num_labels=LABELS, compute_dtype=jnp.bfloat16,
-        use_pallas=jax.default_backend() != "cpu",
+        use_pallas=on_tpu,
+        wavefront=on_tpu and os.environ.get("RST_WAVEFRONT", "1") != "0",
     )
     if params is None:
         params = acoustic.init_params(jax.random.PRNGKey(0), cfg)

@@ -167,6 +167,7 @@ def _build_forward(config, char_map, batch_size: int):
         use_pallas=config.tpu.use_pallas_lstm
         and jax.default_backend() != "cpu",
         frame_stack=config.tpu.frame_stack,
+        wavefront=config.tpu.wavefront,
     )
 
     from rnn_speech_tpu.models import acoustic as am

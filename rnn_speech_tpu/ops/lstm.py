@@ -121,6 +121,76 @@ def _dropout(key, x, keep_prob):
     return jnp.where(mask, x / keep_prob, 0.0)
 
 
+def _dropout_site(rng, out, keeps, use_pallas):
+    """One dropout site; on the Pallas path adjacent sites fuse into a
+    single in-kernel-PRNG stream pass (see ops/dropout_pallas.py).
+    Returns (advanced rng, dropped out)."""
+    keeps = [p for p in keeps if p < 1.0]
+    if rng is None or not keeps:
+        return rng, out
+    rng, sub = jax.random.split(rng)
+    import os
+
+    if use_pallas and os.environ.get("RST_FUSED_DROPOUT", "1") != "0":
+        from rnn_speech_tpu.ops import dropout_pallas
+
+        return rng, dropout_pallas.dropout_pallas(sub, out, keeps)
+    for keep in keeps:
+        sub, k = jax.random.split(sub)
+        out = _dropout(k, out, keep)
+    return rng, out
+
+
+def _lstm_stack_wavefront(
+    layers, x, seq_lengths, states, *, compute_dtype, dropout_rng,
+    input_keep_prob, output_keep_prob,
+):
+    """Whole-stack diagonal kernel (ops/lstm_wavefront.py).
+
+    Dropout sites match the layered composition exactly in distribution:
+    the input site (layer 0) and the final output site stay outside the
+    kernel; each inter-layer boundary's back-to-back output+input
+    Bernoulli pair collapses to ONE Bernoulli(ko*ki) bit mask (a product
+    of independent Bernoullis IS a Bernoulli of the product) applied
+    in-kernel with a static 1/(ko*ki) scale."""
+    from rnn_speech_tpu.ops.lstm_wavefront import (
+        lstm_stack_wavefront_apply,
+        lstm_stack_wavefront_train,
+    )
+
+    T, B, _ = x.shape
+    L = len(layers)
+    H = layers[0]["w_h"].shape[0]
+    rng = dropout_rng
+
+    rng, x = _dropout_site(rng, x, [input_keep_prob], True)
+    if rng is None:
+        # Inference: the residual-free kernel (NOT differentiable — pass
+        # dropout_rng to train).
+        out, new_states = lstm_stack_wavefront_apply(
+            layers, x, seq_lengths, states, compute_dtype=compute_dtype
+        )
+    else:
+        drop_masks, drop_scale = None, 1.0
+        kp = 1.0
+        for p in (output_keep_prob, input_keep_prob):
+            if p < 1.0:
+                kp *= float(p)
+        if kp < 1.0:
+            rng, sub = jax.random.split(rng)
+            drop_masks = jax.random.bernoulli(
+                sub, kp, (L - 1, T, B, H)
+            ).astype(jnp.bfloat16)
+            drop_scale = 1.0 / kp
+        out, new_states = lstm_stack_wavefront_train(
+            layers, x, seq_lengths, states,
+            drop_masks=drop_masks, drop_scale=drop_scale,
+            compute_dtype=compute_dtype,
+        )
+    rng, out = _dropout_site(rng, out, [output_keep_prob], True)
+    return out, new_states
+
+
 def lstm_stack(
     layers: Sequence[Params],
     x: jnp.ndarray,                        # (T, B, D)
@@ -135,6 +205,7 @@ def lstm_stack(
     remat: bool = False,
     time_chunk: int = 0,
     residual_mode: str = "gates",
+    wavefront: bool = False,
 ) -> Tuple[jnp.ndarray, List[LayerState]]:
     """Run the full stack. Returns (outputs (T, B, H), new per-layer states).
 
@@ -147,6 +218,15 @@ def lstm_stack(
     pass drops from O(T) to O(time_chunk + T/time_chunk) at the cost of one
     forward recomputation, the long-sequence recipe from SURVEY §2c (the
     reference's streaming state chunking, applied to training memory).
+
+    ``wavefront`` fuses the whole stack into ONE diagonal-walking Pallas
+    kernel (ops/lstm_wavefront.py): per grid step the L per-layer matmuls
+    are data-independent, so the MXU pipeline stays fed — measured 1.9-2.4x
+    over the layered schedule at flagship shapes.  Same math (pinned by
+    tests/test_lstm_wavefront.py); requires use_pallas, >= 2 layers, and
+    gates-mode residuals.  Inter-layer dropout becomes precomputed scale
+    masks applied in-kernel (statistically identical to the fused
+    in-kernel-PRNG site it replaces).
     """
     T = x.shape[0]
     if time_chunk and T > time_chunk:
@@ -156,7 +236,17 @@ def lstm_stack(
             input_keep_prob=input_keep_prob,
             output_keep_prob=output_keep_prob,
             use_pallas=use_pallas, time_chunk=time_chunk,
-            residual_mode=residual_mode,
+            residual_mode=residual_mode, wavefront=wavefront,
+        )
+    if (
+        wavefront and use_pallas and len(layers) >= 2
+        and residual_mode == "gates" and not remat
+    ):
+        return _lstm_stack_wavefront(
+            layers, x, seq_lengths, states,
+            compute_dtype=compute_dtype, dropout_rng=dropout_rng,
+            input_keep_prob=input_keep_prob,
+            output_keep_prob=output_keep_prob,
         )
     out = x
     # Recompute-residual training in a low-precision compute dtype keeps
@@ -174,31 +264,13 @@ def lstm_stack(
     new_states: List[LayerState] = []
     rng = dropout_rng
 
-    def apply_dropout(rng, out, keeps):
-        """One dropout site; on the Pallas path adjacent sites fuse into a
-        single in-kernel-PRNG stream pass (see ops/dropout_pallas.py)."""
-        keeps = [p for p in keeps if p < 1.0]
-        if rng is None or not keeps:
-            return rng, out
-        rng, sub = jax.random.split(rng)
-        import os
-
-        if use_pallas and os.environ.get("RST_FUSED_DROPOUT", "1") != "0":
-            from rnn_speech_tpu.ops import dropout_pallas
-
-            return rng, dropout_pallas.dropout_pallas(sub, out, keeps)
-        for keep in keeps:
-            sub, k = jax.random.split(sub)
-            out = _dropout(k, out, keep)
-        return rng, out
-
     for idx, (params, state) in enumerate(zip(layers, states)):
         # The output dropout of layer idx-1 and the input dropout of layer
         # idx are back-to-back elementwise passes; hand them to the site
         # as one fused application.
         keeps = [output_keep_prob] if idx > 0 else []
         keeps.append(input_keep_prob)
-        rng, out = apply_dropout(rng, out, keeps)
+        rng, out = _dropout_site(rng, out, keeps, use_pallas)
 
         if use_pallas:
             from rnn_speech_tpu.ops import lstm_pallas
@@ -218,14 +290,14 @@ def lstm_stack(
             out = out.astype(compute_dtype)
         new_states.append(state)
 
-    rng, out = apply_dropout(rng, out, [output_keep_prob])
+    rng, out = _dropout_site(rng, out, [output_keep_prob], use_pallas)
     return out, new_states
 
 
 def _lstm_stack_chunked(
     layers, x, seq_lengths, states, *, compute_dtype, dropout_rng,
     input_keep_prob, output_keep_prob, use_pallas, time_chunk,
-    residual_mode="gates",
+    residual_mode="gates", wavefront=False,
 ):
     """Outer scan over rematerialized time chunks of the full stack."""
     T, B, D = x.shape
@@ -249,6 +321,7 @@ def _lstm_stack_chunked(
             input_keep_prob=input_keep_prob,
             output_keep_prob=output_keep_prob,
             use_pallas=use_pallas, residual_mode=residual_mode,
+            wavefront=wavefront,
         )
         return (states, rng), out
 

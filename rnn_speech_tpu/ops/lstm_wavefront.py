@@ -183,6 +183,343 @@ def lstm_stack_wavefront(
     return out, hn, cn
 
 
+def _wavefront_train_kernel(n_layers, T, n_drop, drop_scale, *refs):
+    """Training forward on the diagonal, streaming the gates-mode
+    residuals the layered backward consumes (activated gates + carried
+    cell sequence + each layer's masked output) and applying the
+    inter-layer dropout in-kernel via precomputed scale masks.
+
+    refs layout: xp0, w_h, w_x, b, drop_1..drop_{n_drop},
+    mask_0..mask_{L-1}, h0, c0, out_0..out_{L-1}, gates_0..gates_{L-1},
+    cseq_0..cseq_{L-1}, hn, cn, h_s, c_s."""
+    L = n_layers
+    xp0_ref, wh_ref, wx_ref, b_ref = refs[:4]
+    pos = 4
+    drop_refs = refs[pos : pos + n_drop]
+    pos += n_drop
+    mask_refs = refs[pos : pos + L]
+    pos += L
+    h0_ref, c0_ref = refs[pos : pos + 2]
+    pos += 2
+    out_refs = refs[pos : pos + L]
+    pos += L
+    gates_refs = refs[pos : pos + L]
+    pos += L
+    cseq_refs = refs[pos : pos + L]
+    pos += L
+    hn_ref, cn_ref, h_s, c_s = refs[pos : pos + 4]
+
+    s = pl.program_id(0)
+
+    for l in reversed(range(L)):
+        t_l = s - l
+
+        @pl.when((s >= l) & (t_l < T))
+        def _(l=l, t_l=t_l):
+            @pl.when(t_l == 0)
+            def _():
+                h_s[l] = h0_ref[l]
+                c_s[l] = c0_ref[l]
+
+            h = h_s[l]
+            c = c_s[l]
+            H = h.shape[-1]
+            if l == 0:
+                gates = xp0_ref[0] + jnp.dot(
+                    h.astype(wh_ref.dtype), wh_ref[0],
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                x_in = h_s[l - 1]
+                if n_drop:
+                    # Masks carry {0, 1} bits (bf16 storage); the 1/keep
+                    # scale folds in as a compile-time constant so the
+                    # stream costs half the HBM of f32 scale masks.
+                    x_in = x_in * (
+                        drop_refs[l - 1][0].astype(jnp.float32) * drop_scale
+                    )
+                gates = (
+                    b_ref[l - 1, 0]
+                    + jnp.dot(
+                        x_in.astype(wx_ref.dtype), wx_ref[l - 1],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jnp.dot(
+                        h.astype(wh_ref.dtype), wh_ref[l],
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            i_a = jax.nn.sigmoid(gates[:, :H])
+            g_a = jnp.tanh(gates[:, H : 2 * H])
+            f_a = jax.nn.sigmoid(gates[:, 2 * H : 3 * H] + 1.0)
+            o_a = jax.nn.sigmoid(gates[:, 3 * H :])
+            c_new = f_a * c + i_a * g_a
+            h_new = o_a * jnp.tanh(c_new)
+
+            m = mask_refs[l][0, 0][:, None]      # (B, 1) float {0, 1}
+            c_carried = m * c_new + (1.0 - m) * c
+            c_s[l] = c_carried
+            h_s[l] = m * h_new + (1.0 - m) * h
+            out_refs[l][0] = m * h_new
+            gates_refs[l][0] = jnp.concatenate(
+                [i_a, g_a, f_a, o_a], axis=-1
+            ).astype(gates_refs[l].dtype)
+            cseq_refs[l][0] = c_carried.astype(cseq_refs[l].dtype)
+
+            @pl.when(t_l == T - 1)
+            def _():
+                hn_ref[l] = h_s[l]
+                cn_ref[l] = c_s[l]
+
+
+def _wavefront_train(xp0, w_h, w_x_rest, b_rest, drop_masks, drop_scale,
+                     mask, h0, c0, res_dtype, interpret=False):
+    """Training forward. ``drop_masks`` is None or (L-1, T, B, H) {0, 1}
+    bit masks (any float dtype) applied — times the static ``drop_scale``
+    — to each inter-layer handoff.  Returns (outs (L, T, B, H) as L
+    arrays, gates (L arrays, res_dtype), cseqs (L arrays, res_dtype),
+    hn (L, B, H), cn (L, B, H))."""
+    T, B, four_h = xp0.shape
+    H = four_h // 4
+    L = w_h.shape[0]
+    n_drop = 0 if drop_masks is None else L - 1
+
+    clamp_t = lambda s, off: (jnp.clip(s - off, 0, T - 1), 0, 0)
+    kernel = functools.partial(
+        _wavefront_train_kernel, L, T, n_drop, drop_scale
+    )
+    in_specs = [
+        pl.BlockSpec((1, B, four_h), lambda s: clamp_t(s, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, H, four_h), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L - 1, H, four_h), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L - 1, 1, four_h), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((1, B, H), functools.partial(clamp_t, off=l),
+                     memory_space=pltpu.VMEM)
+        for l in range(1, 1 + n_drop)
+    ] + [
+        pl.BlockSpec((1, 1, B), functools.partial(clamp_t, off=l),
+                     memory_space=pltpu.VMEM)
+        for l in range(L)
+    ] + [
+        pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        [pl.BlockSpec((1, B, H), functools.partial(clamp_t, off=l),
+                      memory_space=pltpu.VMEM) for l in range(L)]
+        + [pl.BlockSpec((1, B, four_h), functools.partial(clamp_t, off=l),
+                        memory_space=pltpu.VMEM) for l in range(L)]
+        + [pl.BlockSpec((1, B, H), functools.partial(clamp_t, off=l),
+                        memory_space=pltpu.VMEM) for l in range(L)]
+        + [pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((T, B, H), jnp.float32) for _ in range(L)]
+        + [jax.ShapeDtypeStruct((T, B, four_h), res_dtype)
+           for _ in range(L)]
+        + [jax.ShapeDtypeStruct((T, B, H), res_dtype) for _ in range(L)]
+        + [jax.ShapeDtypeStruct((L, B, H), jnp.float32),
+           jax.ShapeDtypeStruct((L, B, H), jnp.float32)]
+    )
+    drop_args = [] if drop_masks is None else [
+        drop_masks[l] for l in range(L - 1)
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T + L - 1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((L, B, H), jnp.float32),
+            pltpu.VMEM((L, B, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * four_h * (2 * L - 1),
+            bytes_accessed=T * B * (
+                four_h * (4 + L * jnp.dtype(res_dtype).itemsize)
+                + H * L * (4 + jnp.dtype(res_dtype).itemsize)
+            ) + (2 * L - 1) * H * four_h * w_h.dtype.itemsize,
+            transcendentals=4 * L * T * B * H,
+        ),
+        interpret=interpret,
+    )(xp0, w_h, w_x_rest, b_rest, *drop_args, *([mask] * L), h0, c0)
+    layer_outs = outs[:L]
+    gates = outs[L : 2 * L]
+    cseqs = outs[2 * L : 3 * L]
+    hn, cn = outs[3 * L], outs[3 * L + 1]
+    return layer_outs, gates, cseqs, hn, cn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _wavefront_stack_core(w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
+                          drop_and_state, cd, rd, interpret, drop_scale):
+    """Differentiable L-layer wavefront stack (gates-mode residuals).
+
+    ``drop_and_state`` = (drop_masks or None, c0 (L, B, H), h0 (L, B, H)),
+    masks carrying {0, 1} bits scaled by the static ``drop_scale``.
+    Returns (out_top (T, B, H) f32, cn (L, B, H), hn (L, B, H)).  The
+    backward reuses the layered reverse-time kernel per layer — the
+    wavefront changes the FORWARD schedule only; the math (and the
+    residual contract) is identical to the layered gates-mode path."""
+    primal, _ = _wavefront_stack_fwd(
+        w_x0, w_x_rest, w_h, b0, b_rest, x, mask, drop_and_state,
+        cd, rd, interpret, drop_scale,
+    )
+    return primal
+
+
+def _wavefront_stack_fwd(w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
+                         drop_and_state, cd, rd, interpret, drop_scale):
+    drop_masks, c0, h0 = drop_and_state
+    xp0 = jnp.dot(
+        x.astype(cd), w_x0.astype(cd), preferred_element_type=jnp.float32
+    ) + b0.astype(jnp.float32)
+    layer_outs, gates, cseqs, hn, cn = _wavefront_train(
+        xp0, w_h.astype(cd), w_x_rest.astype(cd),
+        b_rest.astype(jnp.float32)[:, None, :], drop_masks, drop_scale,
+        mask, h0.astype(jnp.float32), c0.astype(jnp.float32), rd,
+        interpret=interpret,
+    )
+    residuals = (w_x0, w_x_rest, w_h, x, mask, drop_masks, c0, h0,
+                 layer_outs, gates, cseqs)
+    return (layer_outs[-1], cn, hn), residuals
+
+
+def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, residuals,
+                         cotangents):
+    from rnn_speech_tpu.ops.lstm_pallas import (
+        _lstm_recurrence_bwd, _weight_grads,
+    )
+
+    (w_x0, w_x_rest, w_h, x, mask, drop_masks, c0, h0,
+     layer_outs, gates, cseqs) = residuals
+    dout_top, dcn, dhn = cotangents
+    L = w_h.shape[0]
+
+    dw_x0 = dw_x_rest = None
+    dw_h_list, db_list, dwx_rest_list = [], [], []
+    dh0s, dc0s = [], []
+    dout = dout_top
+    db0 = None
+    dx = None
+    for l in reversed(range(L)):
+        c_prev = jnp.concatenate(
+            [c0[l].astype(rd)[None], cseqs[l][:-1]], axis=0
+        )
+        dgates, dh0_l, dc0_l = _lstm_recurrence_bwd(
+            dout, gates[l], cseqs[l], c_prev, mask,
+            w_h[l].astype(cd), dhn[l], dcn[l],
+        )
+        h_prev = jnp.concatenate(
+            [h0[l].astype(jnp.float32)[None], layer_outs[l][:-1]], axis=0
+        )
+        if l == 0:
+            x_l = x
+        else:
+            x_l = layer_outs[l - 1]
+            if drop_masks is not None:
+                x_l = x_l * (
+                    drop_masks[l - 1].astype(jnp.float32) * drop_scale
+                )
+        dw_h_l, dw_x_l, db_l = _weight_grads(h_prev, x_l, dgates, cd)
+        w_x_l = w_x0 if l == 0 else w_x_rest[l - 1]
+        dx_l = jnp.einsum(
+            "tbg,dg->tbd", dgates.astype(cd), w_x_l.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+        if l == 0:
+            dw_x0 = dw_x_l.astype(w_x0.dtype)
+            db0 = db_l
+            dx = dx_l.astype(x.dtype)
+        else:
+            dwx_rest_list.append(dw_x_l)
+            db_list.append(db_l)
+            dout = dx_l
+            if drop_masks is not None:
+                dout = dout * (
+                    drop_masks[l - 1].astype(jnp.float32) * drop_scale
+                )
+        dw_h_list.append(dw_h_l.astype(w_h.dtype))
+        dh0s.append(dh0_l)
+        dc0s.append(dc0_l)
+
+    dw_h = jnp.stack(dw_h_list[::-1])
+    dw_x_rest = (
+        jnp.stack([g.astype(w_x_rest.dtype) for g in dwx_rest_list[::-1]])
+        if L > 1 else jnp.zeros_like(w_x_rest)
+    )
+    db_rest = (
+        jnp.stack(db_list[::-1]).astype(jnp.float32)
+        if L > 1 else jnp.zeros((0, w_h.shape[-1]), jnp.float32)
+    )
+    dc0 = jnp.stack(dc0s[::-1]).astype(c0.dtype)
+    dh0 = jnp.stack(dh0s[::-1]).astype(h0.dtype)
+    none_drop = None if drop_masks is None else jnp.zeros_like(drop_masks)
+    return (dw_x0, dw_x_rest, dw_h, db0, db_rest, dx,
+            jnp.zeros_like(mask), (none_drop, dc0, dh0))
+
+
+_wavefront_stack_core.defvjp(_wavefront_stack_fwd, _wavefront_stack_bwd)
+
+
+def lstm_stack_wavefront_train(
+    layer_params,            # sequence of {"w_x", "w_h", "b"} dicts
+    x: jnp.ndarray,          # (T, B, D)
+    seq_lengths: jnp.ndarray,
+    states,                  # sequence of (c, h) per layer
+    drop_masks=None,         # None or (L-1, T, B, H) {0,1} bit masks
+    drop_scale: float = 1.0,  # static 1/keep scale applied with the bits
+    compute_dtype=jnp.float32,
+    residual_dtype=None,
+    interpret: bool = False,
+):
+    """Differentiable wavefront stack matching ``lstm_stack``'s layered
+    gates-mode semantics (given the same inter-layer dropout masks).
+    Returns (out (T, B, H), [(c, h)] per layer)."""
+    T, B, _ = x.shape
+    L = len(layer_params)
+    if residual_dtype is None:
+        residual_dtype = (
+            jnp.bfloat16 if jnp.dtype(compute_dtype) == jnp.bfloat16
+            else jnp.float32
+        )
+    mask = (jnp.arange(T)[:, None] < seq_lengths[None, :]).astype(
+        jnp.float32
+    )[:, None, :]
+    w_x0 = layer_params[0]["w_x"]
+    b0 = layer_params[0]["b"]
+    if L > 1:
+        w_x_rest = jnp.stack([p["w_x"] for p in layer_params[1:]])
+        b_rest = jnp.stack([p["b"] for p in layer_params[1:]])
+    else:
+        H = layer_params[0]["w_h"].shape[0]
+        w_x_rest = jnp.zeros((0, H, 4 * H), w_x0.dtype)
+        b_rest = jnp.zeros((0, 4 * H), b0.dtype)
+    w_h = jnp.stack([p["w_h"] for p in layer_params])
+    c0 = jnp.stack([c for c, _ in states])
+    h0 = jnp.stack([h for _, h in states])
+    out, cn, hn = _wavefront_stack_core(
+        w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
+        (drop_masks, c0, h0), jnp.dtype(compute_dtype),
+        jnp.dtype(residual_dtype), interpret, float(drop_scale),
+    )
+    return out, [(cn[l], hn[l]) for l in range(L)]
+
+
 def lstm_stack_wavefront_apply(
     layer_params,            # sequence of {"w_x", "w_h", "b"} dicts
     x: jnp.ndarray,          # (T, B, D) input features (post input-proj)

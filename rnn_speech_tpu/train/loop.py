@@ -184,6 +184,7 @@ def train_acoustic(
         remat=tpu.remat,
         time_chunk=max(tpu.time_chunk, 0),
         frame_stack=tpu.frame_stack,
+        wavefront=tpu.wavefront,
     )
     if tpu.time_chunk == 0:
         # Auto policy: chunked remat engages only when the whole-sequence

@@ -116,3 +116,53 @@ def test_export_weights_refuses_empty_bundle(tmp_path):
     config = Config(checkpoint_dir=str(tmp_path / "nonexistent"))
     with pytest.raises(RuntimeError, match="weights-free"):
         fr.export_weights(str(tmp_path / "bundle"), config)
+
+
+def test_flagship_protocol_resume_after_crash(tmp_path):
+    """Crash recovery for the multi-stage protocol (the r4 flagship run
+    trained 3000 steps on the chip, then died in decode_table on a config
+    skew — the ~30 min of training must be recoverable).  --resume skips
+    training, replays the corpus rng bit-identically, reuses the
+    checkpoints + curves under --workdir, and may EXTEND the sweep: the
+    common levels must reproduce the original decode exactly (same
+    weights, same renders, level-keyed noise rng)."""
+    import json
+
+    import flagship_accuracy_run as fr
+
+    bundle = tmp_path / "bundle"
+    kw = dict(
+        clips=16, test_clips=4, layers=1, hidden=32, batch=8,
+        max_steps=10, steps_per_checkpoint=5, lr=4e-3,
+        beam_width=2, lm_weight=0.3, lm_steps=5,
+        train_noise=(200.0, 800.0),
+        decode_batch=4, artifact_dir=str(bundle), run_streaming=False,
+    )
+    first = fr.run(str(tmp_path), out_path=None,
+                   eval_noise_levels=(300.0, 600.0), **kw)
+
+    out = tmp_path / "resumed.json"
+    resumed = fr.run(str(tmp_path), out_path=str(out),
+                     eval_noise_levels=(300.0, 600.0, 1200.0),
+                     headline_noise=600.0, resume=True, **kw)
+
+    # Training was skipped, curves reread from the original session.
+    assert resumed["curves"] == first["curves"]
+    assert resumed["lr_decays_engaged"] == first["lr_decays_engaged"]
+    assert resumed["config"]["train_seconds"] > 0
+    # Common sweep levels decode identically (same weights, same renders,
+    # level-keyed noise rng); only the wall-time field may differ.
+    def _strip_times(table):
+        return {mode: {k: v for k, v in entry.items()
+                       if k != "decode_seconds"}
+                for mode, entry in table.items()}
+
+    for level in ("300.0", "600.0"):
+        assert _strip_times(resumed["noise_sweep"][level]) == \
+            _strip_times(first["noise_sweep"][level])
+    assert set(resumed["noise_sweep"]) == {"300.0", "600.0", "1200.0"}
+    # Headline pinned by --headline_noise, not the (shifted) middle.
+    assert resumed["headline_noise_std"] == 600.0
+    assert resumed["wer_table"] == resumed["noise_sweep"]["600.0"]
+    assert json.loads(out.read_text())["noise_sweep"].keys() == \
+        resumed["noise_sweep"].keys()

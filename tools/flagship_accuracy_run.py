@@ -143,6 +143,26 @@ def read_curves(tb_dir: str, run_name: str):
     return by_tag
 
 
+def _events_train_seconds(tb_dir: str, run_name: str) -> float:
+    """Training wall-time reconstructed from scalar flush timestamps
+    (resume path, where the live timer is gone).  Measures first->last
+    flush and extrapolates the pre-first-flush window from the per-step
+    rate; excludes compile time, so it slightly understates a live
+    measurement."""
+    path = os.path.join(tb_dir, run_name, "events.jsonl")
+    recs = [json.loads(line) for line in open(path)]
+    recs = [r for r in recs if r.get("kind") == "scalar" and "wall_time" in r]
+    if len(recs) < 2:
+        return 0.0
+    steps = [int(r["step"]) for r in recs]
+    walls = [float(r["wall_time"]) for r in recs]
+    span = max(walls) - min(walls)
+    step_span = max(steps) - min(steps)
+    if step_span <= 0:
+        return round(span, 1)
+    return round(span * max(steps) / step_span, 1)
+
+
 def export_weights(artifact_dir: str, config,
                    weights_dtype: str = "bfloat16") -> dict:
     """Re-encode the run's final acoustic + LM checkpoints into a
@@ -472,7 +492,8 @@ def run(workdir: str, out_path, *, clips: int, test_clips: int, layers: int,
         decode_batch: int = 10, frame_stack: int = 1,
         artifact_dir: str = "", weights_dtype: str = "bfloat16",
         streaming_chunk_seconds=(0.4, 1.2), streaming_max_clips: int = 24,
-        run_streaming: bool = True) -> dict:
+        run_streaming: bool = True, resume: bool = False,
+        headline_noise: float = 0.0) -> dict:
     from rnn_speech_tpu.config import Config, LmConfig, TpuConfig
     from rnn_speech_tpu.models.recognizer import SpeechRecognizer
     from rnn_speech_tpu.train import lm_loop, loop
@@ -492,7 +513,12 @@ def run(workdir: str, out_path, *, clips: int, test_clips: int, layers: int,
             "resampling, so the rates must match")
 
     eval_noise_levels = sorted(float(x) for x in eval_noise_levels)
-    headline_noise = eval_noise_levels[len(eval_noise_levels) // 2]
+    headline_noise = float(
+        headline_noise or eval_noise_levels[len(eval_noise_levels) // 2]
+    )
+    if headline_noise not in eval_noise_levels:
+        raise ValueError(f"headline_noise {headline_noise} not in sweep "
+                         f"{eval_noise_levels}")
     train_set, loop_test_set, held_out = build_corpus(
         workdir, clips, test_clips, seed, sr, train_noise, headline_noise
     )
@@ -517,12 +543,26 @@ def run(workdir: str, out_path, *, clips: int, test_clips: int, layers: int,
     )
 
     # --- 2. one continuous acoustic session -----------------------------
-    t0 = time.time()
-    loop.train_acoustic(
-        config, list(train_set), list(loop_test_set), char_map,
-        max_steps=max_steps, tb_name="flagship",
-    )
-    train_seconds = time.time() - t0
+    if resume:
+        # Crash recovery: a finished training session already checkpointed
+        # under workdir/ckpt and logged its curves — rebuild the corpus
+        # (bit-identical: one seeded rng drives every render and noise
+        # draw) and pick up at the export/decode stages.
+        from rnn_speech_tpu.train import checkpoint as ckpt_mod
+
+        if ckpt_mod.latest_path(os.path.join(config.checkpoint_dir,
+                                             "acoustic")) is None:
+            raise RuntimeError(
+                f"--resume: no acoustic checkpoint under "
+                f"{config.checkpoint_dir!r}")
+        train_seconds = _events_train_seconds(tb_dir, "flagship")
+    else:
+        t0 = time.time()
+        loop.train_acoustic(
+            config, list(train_set), list(loop_test_set), char_map,
+            max_steps=max_steps, tb_name="flagship",
+        )
+        train_seconds = time.time() - t0
 
     curves = read_curves(tb_dir, "flagship")
     lr_curve = curves.get("learning_rate", [])
@@ -532,10 +572,18 @@ def run(workdir: str, out_path, *, clips: int, test_clips: int, layers: int,
     )
 
     # --- 3. char-LM on the training transcripts -------------------------
-    train_texts = [label for _, label, _ in train_set]
-    _, lm_step = lm_loop.train_language(
-        config, train_texts, char_map, max_steps=lm_steps
-    )
+    if resume:
+        from rnn_speech_tpu.train import checkpoint as ckpt_mod
+
+        lm_path = ckpt_mod.latest_path(
+            os.path.join(config.checkpoint_dir, "language"))
+        lm_step = (int(os.path.basename(lm_path).rsplit("-", 1)[1]
+                       .split(".")[0]) if lm_path else 0)
+    else:
+        train_texts = [label for _, label, _ in train_set]
+        _, lm_step = lm_loop.train_language(
+            config, train_texts, char_map, max_steps=lm_steps
+        )
 
     # --- 4. export the bundle, then decode FROM it -----------------------
     artifact_dir = artifact_dir or os.path.join(workdir, "bundle")
@@ -641,6 +689,15 @@ def main(argv=None) -> int:
                         help="log-uniform per-clip training noise range")
     parser.add_argument("--eval_noise_levels", type=float, nargs="+",
                         default=(900.0, 2400.0, 4800.0))
+    parser.add_argument("--headline_noise", type=float, default=0.0,
+                        help="which sweep level is the headline wer_table "
+                             "(0 = the middle level); on --resume keep it "
+                             "at the ORIGINAL run's value so the corpus "
+                             "rng replays exactly")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip training: reuse checkpoints + curves "
+                             "already under --workdir (crash recovery for "
+                             "the multi-stage protocol)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--decode_batch", type=int, default=10)
     parser.add_argument("--no_streaming", action="store_true")
@@ -651,6 +708,8 @@ def main(argv=None) -> int:
                              " + README) here; default: <workdir>/bundle")
     args = parser.parse_args(argv)
 
+    if args.resume and not args.workdir:
+        parser.error("--resume requires --workdir")
     workdir = args.workdir or tempfile.mkdtemp(prefix="rst_flagship_")
     result = run(
         workdir, args.out, clips=args.clips, test_clips=args.test_clips,
@@ -663,6 +722,7 @@ def main(argv=None) -> int:
         decode_batch=args.decode_batch, artifact_dir=args.artifact_dir,
         run_streaming=not args.no_streaming,
         streaming_max_clips=args.streaming_max_clips,
+        resume=args.resume, headline_noise=args.headline_noise,
     )
     print(json.dumps(result["noise_sweep"], indent=2))
     print(json.dumps(result["beam_vs_greedy_paired"], indent=2))

@@ -364,9 +364,215 @@ def _wavefront_train(xp0, w_h, w_x_rest, b_rest, drop_masks, drop_scale,
     return layer_outs, gates, cseqs, hn, cn
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _wavefront_bwd_kernel(n_layers, T, n_drop, drop_scale, *refs):
+    """Reverse diagonal: grid step ``s`` computes, for every layer ``l``
+    with ``0 <= s - (L-1-l) < T``, that layer's reverse-time step at
+    ``t = T-1 - (s - (L-1-l))`` — the backward mirror of the forward
+    wavefront, so the L per-step ``dgates·W`` matmuls are again
+    data-independent.  Layer l's upstream cotangent ``dout_l(t)`` is the
+    layer above's ``dgates·W_x^T`` from the PREVIOUS diagonal, handed
+    over in VMEM scratch (never materialized in HBM) with the inter-layer
+    dropout mask applied at the read site.
+
+    refs layout: dout_top, w_h, w_x_rest, drop_0..drop_{n_drop-1},
+    mask_0..mask_{L-1}, gates_0..gates_{L-1}, cseq_0..cseq_{L-1},
+    cprev_0..cprev_{L-1} (same arrays indexed at t-1), c0, dhn, dcn,
+    dgates_0..dgates_{L-1}, dh0, dc0, dh_s, dc_s, dx_s."""
+    L = n_layers
+    dout_ref, wh_ref, wx_ref = refs[:3]
+    pos = 3
+    drop_refs = refs[pos : pos + n_drop]
+    pos += n_drop
+    mask_refs = refs[pos : pos + L]
+    pos += L
+    gates_refs = refs[pos : pos + L]
+    pos += L
+    cseq_refs = refs[pos : pos + L]
+    pos += L
+    cprev_refs = refs[pos : pos + L]
+    pos += L
+    c0_ref, dhn_ref, dcn_ref = refs[pos : pos + 3]
+    pos += 3
+    dgates_refs = refs[pos : pos + L]
+    pos += L
+    dh0_ref, dc0_ref, dh_s, dc_s, dx_s = refs[pos : pos + 5]
+
+    s = pl.program_id(0)
+
+    # Ascending layer order: layer l reads the layer above's dx from the
+    # PREVIOUS diagonal before layer l+1 overwrites it on this one.
+    for l in range(L):
+        off = L - 1 - l
+        t_l = T - 1 - (s - off)
+
+        @pl.when((s >= off) & (s - off < T))
+        def _(l=l, off=off, t_l=t_l):
+            @pl.when(t_l == T - 1)
+            def _():
+                dh_s[l] = dhn_ref[l]
+                dc_s[l] = dcn_ref[l]
+
+            if l == L - 1:
+                dout = dout_ref[0]
+            else:
+                dout = dx_s[l]
+                if n_drop:
+                    dout = dout * (
+                        drop_refs[l][0].astype(jnp.float32) * drop_scale
+                    )
+
+            gates = gates_refs[l][0].astype(jnp.float32)
+            H = dh_s.shape[-1]
+            i_a = gates[:, :H]
+            g_a = gates[:, H : 2 * H]
+            f_a = gates[:, 2 * H : 3 * H]
+            o_a = gates[:, 3 * H :]
+
+            m = mask_refs[l][0, 0][:, None]      # (B, 1) float {0, 1}
+            dh_carry = dh_s[l]
+            dc_carry = dc_s[l]
+
+            tanh_c = jnp.tanh(cseq_refs[l][0].astype(jnp.float32))
+            c_prev = jnp.where(
+                t_l == 0,
+                c0_ref[l],
+                cprev_refs[l][0].astype(jnp.float32),
+            )
+            dh_new = m * (dout + dh_carry)
+            do_pre = dh_new * tanh_c * o_a * (1.0 - o_a)
+            dc_new = dh_new * o_a * (1.0 - tanh_c * tanh_c) + m * dc_carry
+            di_pre = dc_new * g_a * i_a * (1.0 - i_a)
+            dg_pre = dc_new * i_a * (1.0 - g_a * g_a)
+            df_pre = dc_new * c_prev * f_a * (1.0 - f_a)
+
+            dgates = jnp.concatenate(
+                [di_pre, dg_pre, df_pre, do_pre], axis=-1
+            )
+            dgates_refs[l][0] = dgates.astype(dgates_refs[l].dtype)
+
+            dh_prev = jax.lax.dot_general(
+                dgates.astype(wh_ref.dtype), wh_ref[l],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dh_s[l] = (1.0 - m) * dh_carry + dh_prev
+            dc_s[l] = (1.0 - m) * dc_carry + dc_new * f_a
+            if l > 0:
+                dx_s[l - 1] = jax.lax.dot_general(
+                    dgates.astype(wx_ref.dtype), wx_ref[l - 1],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            @pl.when(t_l == 0)
+            def _():
+                dh0_ref[l] = dh_s[l]
+                dc0_ref[l] = dc_s[l]
+
+
+def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_masks, drop_scale,
+                   mask, gates, cseqs, c0, dhn, dcn, interpret=False):
+    """Whole-stack reverse diagonal.  ``gates``/``cseqs`` are the forward
+    wavefront's per-layer residual streams; returns (dgates per layer
+    (T, B, 4H) residual-dtype, dh0 (L, B, H), dc0 (L, B, H))."""
+    T, B, four_h = gates[0].shape
+    H = four_h // 4
+    L = w_h.shape[0]
+    n_drop = 0 if drop_masks is None else L - 1
+
+    revoff = lambda s, off: (jnp.clip(T - 1 - (s - off), 0, T - 1), 0, 0)
+    prevoff = lambda s, off: (jnp.clip(T - 2 - (s - off), 0, T - 1), 0, 0)
+    kernel = functools.partial(
+        _wavefront_bwd_kernel, L, T, n_drop, drop_scale
+    )
+    in_specs = [
+        # The TOP layer leads the reverse diagonal (off = 0); lower
+        # layers lag by L-1-l steps.
+        pl.BlockSpec((1, B, H), functools.partial(revoff, off=0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, H, four_h), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L - 1, H, four_h), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        # Boundary-l mask, consumed by layer l on its own diagonal.
+        pl.BlockSpec((1, B, H), functools.partial(revoff, off=L - 1 - l),
+                     memory_space=pltpu.VMEM)
+        for l in range(n_drop)
+    ] + [
+        pl.BlockSpec((1, 1, B), functools.partial(revoff, off=L - 1 - l),
+                     memory_space=pltpu.VMEM)
+        for l in range(L)
+    ] + [
+        pl.BlockSpec((1, B, four_h), functools.partial(revoff, off=L - 1 - l),
+                     memory_space=pltpu.VMEM)
+        for l in range(L)
+    ] + [
+        pl.BlockSpec((1, B, H), functools.partial(revoff, off=L - 1 - l),
+                     memory_space=pltpu.VMEM)
+        for l in range(L)
+    ] + [
+        pl.BlockSpec((1, B, H), functools.partial(prevoff, off=L - 1 - l),
+                     memory_space=pltpu.VMEM)
+        for l in range(L)
+    ] + [
+        pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    rd = gates[0].dtype
+    out_specs = [
+        pl.BlockSpec((1, B, four_h), functools.partial(revoff, off=L - 1 - l),
+                     memory_space=pltpu.VMEM)
+        for l in range(L)
+    ] + [
+        pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = (
+        [jax.ShapeDtypeStruct((T, B, four_h), rd) for _ in range(L)]
+        + [jax.ShapeDtypeStruct((L, B, H), jnp.float32),
+           jax.ShapeDtypeStruct((L, B, H), jnp.float32)]
+    )
+    drop_args = [] if drop_masks is None else [
+        drop_masks[l] for l in range(L - 1)
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T + L - 1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((L, B, H), jnp.float32),
+            pltpu.VMEM((L, B, H), jnp.float32),
+            pltpu.VMEM((max(L - 1, 1), B, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * four_h * (2 * L - 1),
+            bytes_accessed=T * B * (
+                four_h * 2 * rd.itemsize + H * (4 + 3 * rd.itemsize)
+            ) + (2 * L - 1) * H * four_h * w_h.dtype.itemsize,
+            transcendentals=L * T * B * H,
+        ),
+        interpret=interpret,
+    )(dout_top, w_h, w_x_rest, *drop_args, *([mask] * L), *gates,
+      *cseqs, *cseqs, c0, dhn, dcn)
+    return outs[:L], outs[L], outs[L + 1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _wavefront_stack_core(w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
-                          drop_and_state, cd, rd, interpret, drop_scale):
+                          drop_and_state, cd, rd, interpret, drop_scale,
+                          bwd_wavefront):
     """Differentiable L-layer wavefront stack (gates-mode residuals).
 
     ``drop_and_state`` = (drop_masks or None, c0 (L, B, H), h0 (L, B, H)),
@@ -377,13 +583,14 @@ def _wavefront_stack_core(w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
     residual contract) is identical to the layered gates-mode path."""
     primal, _ = _wavefront_stack_fwd(
         w_x0, w_x_rest, w_h, b0, b_rest, x, mask, drop_and_state,
-        cd, rd, interpret, drop_scale,
+        cd, rd, interpret, drop_scale, bwd_wavefront,
     )
     return primal
 
 
 def _wavefront_stack_fwd(w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
-                         drop_and_state, cd, rd, interpret, drop_scale):
+                         drop_and_state, cd, rd, interpret, drop_scale,
+                         bwd_wavefront):
     drop_masks, c0, h0 = drop_and_state
     xp0 = jnp.dot(
         x.astype(cd), w_x0.astype(cd), preferred_element_type=jnp.float32
@@ -399,8 +606,8 @@ def _wavefront_stack_fwd(w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
     return (layer_outs[-1], cn, hn), residuals
 
 
-def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, residuals,
-                         cotangents):
+def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
+                         residuals, cotangents):
     from rnn_speech_tpu.ops.lstm_pallas import (
         _lstm_recurrence_bwd, _weight_grads,
     )
@@ -410,20 +617,44 @@ def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, residuals,
     dout_top, dcn, dhn = cotangents
     L = w_h.shape[0]
 
-    dw_x0 = dw_x_rest = None
+    if bwd_wavefront:
+        # Fused reverse diagonal: one kernel, T+L-1 steps, inter-layer
+        # cotangents handed over in VMEM (vs L sequential T-step reverse
+        # kernels with (T, B, H) dout temps between them).
+        dgates_all, dh0, dc0 = _wavefront_bwd(
+            dout_top, w_h.astype(cd), w_x_rest.astype(cd),
+            drop_masks, drop_scale, mask, list(gates), list(cseqs),
+            c0.astype(jnp.float32), dhn, dcn, interpret=interpret,
+        )
+        dgates_all = list(dgates_all)
+        dh0s = [dh0[l] for l in range(L)]
+        dc0s = [dc0[l] for l in range(L)]
+    else:
+        dgates_all = [None] * L
+        dh0s, dc0s = [None] * L, [None] * L
+        dout = dout_top
+        for l in reversed(range(L)):
+            c_prev = jnp.concatenate(
+                [c0[l].astype(rd)[None], cseqs[l][:-1]], axis=0
+            )
+            dgates_all[l], dh0s[l], dc0s[l] = _lstm_recurrence_bwd(
+                dout, gates[l], cseqs[l], c_prev, mask,
+                w_h[l].astype(cd), dhn[l], dcn[l],
+            )
+            if l > 0:
+                dout = jnp.einsum(
+                    "tbg,dg->tbd", dgates_all[l].astype(cd),
+                    w_x_rest[l - 1].astype(cd),
+                    preferred_element_type=jnp.float32,
+                )
+                if drop_masks is not None:
+                    dout = dout * (
+                        drop_masks[l - 1].astype(jnp.float32) * drop_scale
+                    )
+
     dw_h_list, db_list, dwx_rest_list = [], [], []
-    dh0s, dc0s = [], []
-    dout = dout_top
-    db0 = None
-    dx = None
-    for l in reversed(range(L)):
-        c_prev = jnp.concatenate(
-            [c0[l].astype(rd)[None], cseqs[l][:-1]], axis=0
-        )
-        dgates, dh0_l, dc0_l = _lstm_recurrence_bwd(
-            dout, gates[l], cseqs[l], c_prev, mask,
-            w_h[l].astype(cd), dhn[l], dcn[l],
-        )
+    dw_x0 = db0 = None
+    for l in range(L):
         h_prev = jnp.concatenate(
             [h0[l].astype(jnp.float32)[None], layer_outs[l][:-1]], axis=0
         )
@@ -435,39 +666,30 @@ def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, residuals,
                 x_l = x_l * (
                     drop_masks[l - 1].astype(jnp.float32) * drop_scale
                 )
-        dw_h_l, dw_x_l, db_l = _weight_grads(h_prev, x_l, dgates, cd)
-        w_x_l = w_x0 if l == 0 else w_x_rest[l - 1]
-        dx_l = jnp.einsum(
-            "tbg,dg->tbd", dgates.astype(cd), w_x_l.astype(cd),
-            preferred_element_type=jnp.float32,
-        )
+        dw_h_l, dw_x_l, db_l = _weight_grads(h_prev, x_l, dgates_all[l], cd)
         if l == 0:
             dw_x0 = dw_x_l.astype(w_x0.dtype)
             db0 = db_l
-            dx = dx_l.astype(x.dtype)
         else:
             dwx_rest_list.append(dw_x_l)
             db_list.append(db_l)
-            dout = dx_l
-            if drop_masks is not None:
-                dout = dout * (
-                    drop_masks[l - 1].astype(jnp.float32) * drop_scale
-                )
         dw_h_list.append(dw_h_l.astype(w_h.dtype))
-        dh0s.append(dh0_l)
-        dc0s.append(dc0_l)
 
-    dw_h = jnp.stack(dw_h_list[::-1])
+    dx = jnp.einsum(
+        "tbg,dg->tbd", dgates_all[0].astype(cd), w_x0.astype(cd),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    dw_h = jnp.stack(dw_h_list)
     dw_x_rest = (
-        jnp.stack([g.astype(w_x_rest.dtype) for g in dwx_rest_list[::-1]])
+        jnp.stack([g.astype(w_x_rest.dtype) for g in dwx_rest_list])
         if L > 1 else jnp.zeros_like(w_x_rest)
     )
     db_rest = (
-        jnp.stack(db_list[::-1]).astype(jnp.float32)
+        jnp.stack(db_list).astype(jnp.float32)
         if L > 1 else jnp.zeros((0, w_h.shape[-1]), jnp.float32)
     )
-    dc0 = jnp.stack(dc0s[::-1]).astype(c0.dtype)
-    dh0 = jnp.stack(dh0s[::-1]).astype(h0.dtype)
+    dc0 = jnp.stack(dc0s).astype(c0.dtype)
+    dh0 = jnp.stack(dh0s).astype(h0.dtype)
     none_drop = None if drop_masks is None else jnp.zeros_like(drop_masks)
     return (dw_x0, dw_x_rest, dw_h, db0, db_rest, dx,
             jnp.zeros_like(mask), (none_drop, dc0, dh0))
@@ -486,10 +708,19 @@ def lstm_stack_wavefront_train(
     compute_dtype=jnp.float32,
     residual_dtype=None,
     interpret: bool = False,
+    bwd_wavefront=None,      # None = RST_WAVEFRONT_BWD env (default on)
 ):
     """Differentiable wavefront stack matching ``lstm_stack``'s layered
     gates-mode semantics (given the same inter-layer dropout masks).
-    Returns (out (T, B, H), [(c, h)] per layer)."""
+    Returns (out (T, B, H), [(c, h)] per layer).
+
+    ``bwd_wavefront`` selects the backward schedule: the fused reverse
+    diagonal (True, the default) or the layered per-layer reverse kernels
+    (False) — resolved at TRACE time, so callers A/B-ing must retrace."""
+    import os
+
+    if bwd_wavefront is None:
+        bwd_wavefront = os.environ.get("RST_WAVEFRONT_BWD", "1") != "0"
     T, B, _ = x.shape
     L = len(layer_params)
     if residual_dtype is None:
@@ -516,6 +747,7 @@ def lstm_stack_wavefront_train(
         w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
         (drop_masks, c0, h0), jnp.dtype(compute_dtype),
         jnp.dtype(residual_dtype), interpret, float(drop_scale),
+        bool(bwd_wavefront),
     )
     return out, [(cn[l], hn[l]) for l in range(L)]
 

@@ -61,11 +61,15 @@ def _ref_stack_dropped(layers, x, lengths, states, drop_masks):
     return out, new_states
 
 
+@pytest.mark.parametrize("bwd_wavefront", ["1", "0"])
 @pytest.mark.parametrize("with_drop", [False, True])
-def test_wavefront_train_grads_match_scan(with_drop):
+def test_wavefront_train_grads_match_scan(with_drop, bwd_wavefront,
+                                          monkeypatch):
     """The custom-VJP train path == autodiff through the scan stack,
     values AND gradients (f32 residuals for exactness), including the
-    inter-layer dropout scale masks."""
+    inter-layer dropout scale masks — for BOTH backward schedules (the
+    fused reverse diagonal and the layered per-layer fallback)."""
+    monkeypatch.setenv("RST_WAVEFRONT_BWD", bwd_wavefront)
     from jax.experimental.pallas import tpu as pltpu
 
     from rnn_speech_tpu.ops.lstm_wavefront import lstm_stack_wavefront_train

@@ -70,6 +70,68 @@ def check_lstm() -> None:
     print("LSTM recompute-mode backward on hardware: OK")
 
 
+def check_wavefront() -> None:
+    """Cross-layer wavefront stack (fwd diagonal + fused reverse-diagonal
+    backward) vs the layered scan stack, values AND gradients, on the
+    actual chip (interpret-mode coverage lives in
+    tests/test_lstm_wavefront.py)."""
+    import os
+
+    from rnn_speech_tpu.ops import lstm
+    from rnn_speech_tpu.ops.lstm_wavefront import (
+        lstm_stack_wavefront_apply, lstm_stack_wavefront_train,
+    )
+
+    T, B, D, H, L = 64, 8, 128, 128, 3
+    layers = lstm.init_lstm_stack(jax.random.PRNGKey(0), L, D, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, D))
+    lens = jnp.asarray([64, 50, 0, 64, 31, 64, 7, 13], jnp.int32)
+    states = [
+        (jax.random.normal(jax.random.PRNGKey(10 + i), (B, H)) * 0.1,
+         jax.random.normal(jax.random.PRNGKey(20 + i), (B, H)) * 0.1)
+        for i in range(L)
+    ]
+    wy = jax.random.normal(jax.random.PRNGKey(2), (T, B, H)) * 0.1
+
+    def ref_stack(params_list, xx, sts):
+        out = xx
+        new = []
+        for p, st in zip(params_list, sts):
+            out, st = lstm.lstm_layer_scan(p, out, lens, st)
+            new.append(st)
+        return out, new
+
+    def loss(fn):
+        def inner(params_list, xx, sts):
+            ys, new = fn(params_list, xx, sts)
+            return (jnp.sum(ys * wy)
+                    + sum(jnp.sum(c) * 0.3 + jnp.sum(h) * 0.7
+                          for c, h in new))
+        return inner
+
+    ref = jax.jit(jax.grad(loss(ref_stack), argnums=(0, 1, 2)))(
+        layers, x, states)
+    wave_fn = lambda p, xx, sts: lstm_stack_wavefront_train(
+        p, xx, lens, sts, residual_dtype=jnp.float32)
+    for flag in ("1", "0"):
+        os.environ["RST_WAVEFRONT_BWD"] = flag
+        wav = jax.jit(jax.grad(loss(wave_fn), argnums=(0, 1, 2)))(
+            layers, x, states)
+        for r, p in zip(jax.tree.leaves(ref), jax.tree.leaves(wav)):
+            scale = float(jnp.max(jnp.abs(r))) + 1e-6
+            rel = float(jnp.max(jnp.abs(r - p))) / scale
+            assert rel < 2e-2, \
+                f"wavefront(bwd={flag}) grad rel diff {rel:.3e}"
+        jax.clear_caches()   # distinct compiles per env flag
+    os.environ.pop("RST_WAVEFRONT_BWD", None)
+    y_ref, _ = jax.jit(ref_stack)(layers, x, states)
+    y_app, _ = jax.jit(lambda p, xx, sts: lstm_stack_wavefront_apply(
+        p, xx, lens, sts))(layers, x, states)
+    diff = float(jnp.max(jnp.abs(y_ref - y_app)))
+    assert diff < 1e-3, f"wavefront apply fwd diff {diff:.3e}"
+    print("cross-layer wavefront stack (fwd + fused bwd) on hardware: OK")
+
+
 def check_ctc() -> None:
     from rnn_speech_tpu.ops import ctc, ctc_pallas
 
@@ -229,6 +291,7 @@ def check_grad_matmul() -> None:
 def main() -> int:
     print(f"devices: {jax.devices()}")
     check_lstm()
+    check_wavefront()
     check_ctc()
     check_frontend()
     check_beam()

@@ -92,6 +92,68 @@ def run_shape(T: int, B: int, H: int, L: int, D: int, iters: int,
     }
 
 
+def run_train_shape(T: int, B: int, H: int, L: int, D: int, iters: int,
+                    compute_dtype) -> dict:
+    """Train-step (fwd+bwd through the stack) A/B: layered gates-mode vs
+    wavefront forward with layered backward vs wavefront forward + fused
+    reverse-diagonal backward.  Dropout off so all three run identical
+    math; residuals in the compute dtype (the training default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnn_speech_tpu.ops import lstm
+    from rnn_speech_tpu.ops.lstm_pallas import lstm_layer_pallas
+    from rnn_speech_tpu.ops.lstm_wavefront import lstm_stack_wavefront_train
+
+    key = jax.random.PRNGKey(0)
+    layers = lstm.init_lstm_stack(key, L, D, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, D), jnp.float32)
+    lengths = jnp.full((B,), T, jnp.int32)
+    states = lstm.zero_state(L, B, H)
+    wy = jax.random.normal(jax.random.PRNGKey(2), (T, B, H)) * 0.02
+
+    def layered_loss(params_list, xx):
+        out = xx
+        for p, st in zip(params_list, states):
+            out, _ = lstm_layer_pallas(
+                p, out, lengths, st, compute_dtype=compute_dtype
+            )
+        return jnp.sum(out * wy)
+
+    def wave_loss(bwd):
+        def inner(params_list, xx):
+            out, _ = lstm_stack_wavefront_train(
+                params_list, xx, lengths, states,
+                compute_dtype=compute_dtype, bwd_wavefront=bwd,
+            )
+            return jnp.sum(out * wy)
+        return inner
+
+    grad_layered = jax.jit(jax.grad(layered_loss))
+    grad_wave_lb = jax.jit(jax.grad(wave_loss(False)))
+    grad_wave_full = jax.jit(jax.grad(wave_loss(True)))
+
+    t_layer = measure(grad_layered, (layers, x), iters)
+    t_wave_lb = measure(grad_wave_lb, (layers, x), iters)
+    t_wave = measure(grad_wave_full, (layers, x), iters)
+
+    dims = [D] + [H] * (L - 1)
+    # fwd + dgates·W_h^T/W_x^T bwd + dW_h/dW_x wgrad ≈ 3x the fwd matmuls.
+    flops = 3 * sum(2 * T * B * (d + H) * 4 * H for d in dims)
+    return {
+        "mode": "train", "T": T, "B": B, "H": H, "L": L,
+        "layered_ms": round(1e3 * t_layer, 2),
+        "wavefront_fwd_only_ms": round(1e3 * t_wave_lb, 2),
+        "wavefront_ms": round(1e3 * t_wave, 2),
+        "speedup_fwd_only": round(t_layer / t_wave_lb, 3),
+        "speedup": round(t_layer / t_wave, 3),
+        "layered_tflops": round(flops / t_layer / 1e12, 2),
+        "wavefront_tflops": round(flops / t_wave / 1e12, 2),
+        "utt_equiv_per_sec_layered": round(B / t_layer, 1),
+        "utt_equiv_per_sec_wavefront": round(B / t_wave, 1),
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--T", type=int, default=0,
@@ -104,6 +166,9 @@ def main() -> int:
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--f32", action="store_true",
                         help="f32 weights instead of bf16")
+    parser.add_argument("--train", action="store_true",
+                        help="A/B the train step (fwd+bwd) instead of "
+                             "the inference forward")
     args = parser.parse_args()
 
     import jax
@@ -113,10 +178,11 @@ def main() -> int:
     print(f"devices: {jax.devices()}", file=sys.stderr)
     shapes = (
         [(args.T, args.B)] if args.T
-        else [(3510, 64), (1024, 128)]
+        else ([(3510, 64)] if args.train else [(3510, 64), (1024, 128)])
     )
+    fn = run_train_shape if args.train else run_shape
     for T, B in shapes:
-        out = run_shape(T, B, args.H, args.L, args.D, args.iters, cd)
+        out = fn(T, B, args.H, args.L, args.D, args.iters, cd)
         print(json.dumps(out), flush=True)
     return 0
 

@@ -152,13 +152,17 @@ def bench_train() -> dict:
 
     LADDER = [
         ("", {}),
-        ("no_fused_wgrad", {"RST_FUSED_WGRAD": "0"}),
-        ("legacy_kernels", {"RST_FUSED_WGRAD": "0",
+        ("no_wavefront", {"RST_WAVEFRONT": "0"}),
+        ("no_fused_wgrad", {"RST_WAVEFRONT": "0",
+                            "RST_FUSED_WGRAD": "0"}),
+        ("legacy_kernels", {"RST_WAVEFRONT": "0",
+                            "RST_FUSED_WGRAD": "0",
                             "RST_FUSED_DROPOUT": "0",
                             "RST_CTC_KBLOCK": "1"}),
     ]
-    pinned = {k for k in ("RST_FUSED_WGRAD", "RST_FUSED_DROPOUT",
-                          "RST_CTC_KBLOCK") if k in os.environ}
+    pinned = {k for k in ("RST_WAVEFRONT", "RST_FUSED_WGRAD",
+                          "RST_FUSED_DROPOUT", "RST_CTC_KBLOCK")
+              if k in os.environ}
     last = None
     for name, env in LADDER:
         if pinned and name:

@@ -22,24 +22,27 @@ def test_bench_train_falls_back_and_records_rung(monkeypatch):
     def fake_once():
         calls.append({
             k: os.environ.get(k)
-            for k in ("RST_FUSED_WGRAD", "RST_FUSED_DROPOUT",
-                      "RST_CTC_KBLOCK")
+            for k in ("RST_WAVEFRONT", "RST_FUSED_WGRAD",
+                      "RST_FUSED_DROPOUT", "RST_CTC_KBLOCK")
         })
-        if len(calls) < 3:
+        if len(calls) < 4:
             raise RuntimeError("compile OOM")
         return {"train_utt_per_sec": 1.0}
 
     monkeypatch.setattr(bench, "_bench_train_once", fake_once)
     out = bench.bench_train()
     assert out["train_kernel_fallback"] == "legacy_kernels"
-    # Rung env progression: default -> wgrad off -> all legacy.
-    assert calls[0] == {"RST_FUSED_WGRAD": None, "RST_FUSED_DROPOUT": None,
-                        "RST_CTC_KBLOCK": None}
-    assert calls[1]["RST_FUSED_WGRAD"] == "0"
-    assert calls[2] == {"RST_FUSED_WGRAD": "0", "RST_FUSED_DROPOUT": "0",
-                        "RST_CTC_KBLOCK": "1"}
+    # Rung env progression: default -> wavefront off -> wgrad off -> legacy.
+    assert calls[0] == {"RST_WAVEFRONT": None, "RST_FUSED_WGRAD": None,
+                        "RST_FUSED_DROPOUT": None, "RST_CTC_KBLOCK": None}
+    assert calls[1]["RST_WAVEFRONT"] == "0"
+    assert calls[1]["RST_FUSED_WGRAD"] is None
+    assert calls[2]["RST_FUSED_WGRAD"] == "0"
+    assert calls[3] == {"RST_WAVEFRONT": "0", "RST_FUSED_WGRAD": "0",
+                        "RST_FUSED_DROPOUT": "0", "RST_CTC_KBLOCK": "1"}
     # The ladder's env vars must not leak out of bench_train.
-    for k in ("RST_FUSED_WGRAD", "RST_FUSED_DROPOUT", "RST_CTC_KBLOCK"):
+    for k in ("RST_WAVEFRONT", "RST_FUSED_WGRAD", "RST_FUSED_DROPOUT",
+              "RST_CTC_KBLOCK"):
         assert k not in os.environ
 
 

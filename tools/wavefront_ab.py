@@ -110,9 +110,12 @@ def run_train_shape(T: int, B: int, H: int, L: int, D: int, iters: int,
     x = jax.random.normal(jax.random.PRNGKey(1), (T, B, D), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
     states = lstm.zero_state(L, B, H)
+    # NOTE: wy must be a jit ARGUMENT — as a closure constant this
+    # (T, B, H) f32 tensor (919 MB at flagship shapes) is embedded in the
+    # program and the tunneled remote-compile RPC dies shipping it.
     wy = jax.random.normal(jax.random.PRNGKey(2), (T, B, H)) * 0.02
 
-    def layered_loss(params_list, xx):
+    def layered_loss(params_list, xx, wy):
         out = xx
         for p, st in zip(params_list, states):
             out, _ = lstm_layer_pallas(
@@ -121,7 +124,7 @@ def run_train_shape(T: int, B: int, H: int, L: int, D: int, iters: int,
         return jnp.sum(out * wy)
 
     def wave_loss(bwd):
-        def inner(params_list, xx):
+        def inner(params_list, xx, wy):
             out, _ = lstm_stack_wavefront_train(
                 params_list, xx, lengths, states,
                 compute_dtype=compute_dtype, bwd_wavefront=bwd,
@@ -133,9 +136,9 @@ def run_train_shape(T: int, B: int, H: int, L: int, D: int, iters: int,
     grad_wave_lb = jax.jit(jax.grad(wave_loss(False)))
     grad_wave_full = jax.jit(jax.grad(wave_loss(True)))
 
-    t_layer = measure(grad_layered, (layers, x), iters)
-    t_wave_lb = measure(grad_wave_lb, (layers, x), iters)
-    t_wave = measure(grad_wave_full, (layers, x), iters)
+    t_layer = measure(grad_layered, (layers, x, wy), iters)
+    t_wave_lb = measure(grad_wave_lb, (layers, x, wy), iters)
+    t_wave = measure(grad_wave_full, (layers, x, wy), iters)
 
     dims = [D] + [H] * (L - 1)
     # fwd + dgates·W_h^T/W_x^T bwd + dW_h/dW_x wgrad ≈ 3x the fwd matmuls.

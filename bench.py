@@ -392,6 +392,11 @@ def _bundle_fixture(batch: int = 32):
         raise RuntimeError(f"bundle at {bundle} has no restorable "
                            "acoustic checkpoint")
     params, step, _ = restored
+    # Restored leaves are host numpy arrays; committed once here.  Left
+    # as-is, every beam_fn call re-uploads the full 50 MB parameter set
+    # through the tunneled device link — measured 585 -> 9 utt/s on the
+    # beam16 bench, a transfer artifact, not decode cost.
+    params = jax.device_put(params)
 
     rng = np.random.default_rng(7)
     texts = gen.sample_sentences(batch, rng)

@@ -260,7 +260,7 @@ def _wavefront_train_kernel(n_layers, T, n_drop, drop_scale, *refs):
             c_carried = m * c_new + (1.0 - m) * c
             c_s[l] = c_carried
             h_s[l] = m * h_new + (1.0 - m) * h
-            out_refs[l][0] = m * h_new
+            out_refs[l][0] = (m * h_new).astype(out_refs[l].dtype)
             gates_refs[l][0] = jnp.concatenate(
                 [i_a, g_a, f_a, o_a], axis=-1
             ).astype(gates_refs[l].dtype)
@@ -323,8 +323,11 @@ def _wavefront_train(xp0, w_h, w_x_rest, b_rest, drop_masks, drop_scale,
            pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
                         memory_space=pltpu.VMEM)]
     )
+    # Every streamed residual — layer outputs included — stays in the
+    # residual dtype: f32 copies of the L output sequences alone pushed
+    # the B=64 T=3510 train step 216 MB past HBM capacity.
     out_shape = (
-        [jax.ShapeDtypeStruct((T, B, H), jnp.float32) for _ in range(L)]
+        [jax.ShapeDtypeStruct((T, B, H), res_dtype) for _ in range(L)]
         + [jax.ShapeDtypeStruct((T, B, four_h), res_dtype)
            for _ in range(L)]
         + [jax.ShapeDtypeStruct((T, B, H), res_dtype) for _ in range(L)]
@@ -413,7 +416,7 @@ def _wavefront_bwd_kernel(n_layers, T, n_drop, drop_scale, *refs):
                 dc_s[l] = dcn_ref[l]
 
             if l == L - 1:
-                dout = dout_ref[0]
+                dout = dout_ref[0].astype(jnp.float32)
             else:
                 dout = dx_s[l]
                 if n_drop:
@@ -656,7 +659,8 @@ def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
     dw_x0 = db0 = None
     for l in range(L):
         h_prev = jnp.concatenate(
-            [h0[l].astype(jnp.float32)[None], layer_outs[l][:-1]], axis=0
+            [h0[l].astype(layer_outs[l].dtype)[None], layer_outs[l][:-1]],
+            axis=0,
         )
         if l == 0:
             x_l = x

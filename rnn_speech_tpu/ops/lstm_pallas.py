@@ -317,6 +317,11 @@ def _lstm_recurrence_bwd(dout, gates_act, c_seq, c_prev_seq, mask, w_h,
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
+        # dgates writes back into the activated-gates residual (same
+        # shape/dtype/index map, read-before-write within each step, last
+        # use of gates_act); XLA copies defensively if the operand has
+        # later uses, so this only ever saves the (T, B, 4H) allocation.
+        input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),

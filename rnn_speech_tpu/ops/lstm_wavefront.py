@@ -545,6 +545,13 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_masks, drop_scale,
     drop_args = [] if drop_masks is None else [
         drop_masks[l] for l in range(L - 1)
     ]
+    # dgates_l writes back into gates_l's buffer: same (T, B, 4H) shape,
+    # dtype and index map, the gates block is read before dgates is
+    # written within each grid step, and the activated gates' last use is
+    # this kernel.  Without the alias all L dgates streams (5.5 GB at
+    # flagship shapes) allocate NEXT TO all L gates residuals and the
+    # B=64 T=3510 train step overflows HBM.
+    gates_base = 3 + len(drop_args) + L
     outs = pl.pallas_call(
         kernel,
         grid=(T + L - 1,),
@@ -556,6 +563,7 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_masks, drop_scale,
             pltpu.VMEM((L, B, H), jnp.float32),
             pltpu.VMEM((max(L - 1, 1), B, H), jnp.float32),
         ],
+        input_output_aliases={gates_base + l: l for l in range(L)},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
         ),

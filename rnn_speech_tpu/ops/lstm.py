@@ -177,10 +177,25 @@ def _lstm_stack_wavefront(
             if p < 1.0:
                 kp *= float(p)
         if kp < 1.0:
+            import os
+
             rng, sub = jax.random.split(rng)
-            drop_masks = jax.random.bernoulli(
-                sub, kp, (L - 1, T, B, H)
-            ).astype(jnp.bfloat16)
+            if os.environ.get("RST_PALLAS_MASKGEN", "1") != "0":
+                # Core-PRNG mask gen is worth ~7 ms/step in the flagship
+                # wavefront train step (283.4 -> 276.7 ms measured A/B):
+                # the threefry mask sits on the critical path before the
+                # forward kernel; the Pallas pass is short enough to hide.
+                from rnn_speech_tpu.ops.dropout_pallas import (
+                    bernoulli_mask_pallas,
+                )
+
+                drop_masks = bernoulli_mask_pallas(
+                    sub, (L - 1, T, B, H), kp, jnp.bfloat16
+                )
+            else:
+                drop_masks = jax.random.bernoulli(
+                    sub, kp, (L - 1, T, B, H)
+                ).astype(jnp.bfloat16)
             drop_scale = 1.0 / kp
         out, new_states = lstm_stack_wavefront_train(
             layers, x, seq_lengths, states,

@@ -105,3 +105,27 @@ def test_stack_integration_pallas_dropout():
     # Even with the interpret-mode PRNG stub (all kept), the 1/keep scaling
     # guarantees the training pass differs from the clean pass.
     assert not np.allclose(np.asarray(clean), np.asarray(dropped))
+
+def test_bernoulli_mask_shape_dtype_and_interpret_stub():
+    """bernoulli_mask_pallas: ND shape round-trip, requested dtype, and the
+    interpret-mode PRNG stub (all-zero bits < threshold) keeps everything."""
+    from rnn_speech_tpu.ops.dropout_pallas import bernoulli_mask_pallas
+
+    with pltpu.force_tpu_interpret_mode():
+        m = bernoulli_mask_pallas(jax.random.PRNGKey(3), (2, 5, 4, 128), 0.7,
+                                  jnp.bfloat16)
+    assert m.shape == (2, 5, 4, 128)
+    assert m.dtype == jnp.bfloat16
+    assert np.asarray(m, np.float32).min() >= 0.0
+    assert np.asarray(m, np.float32).max() <= 1.0
+    # interpret stubs prng_random_bits to zeros -> every element kept
+    assert np.asarray(m, np.float32).mean() == 1.0
+
+
+def test_bernoulli_mask_accepts_typed_and_raw_keys():
+    from rnn_speech_tpu.ops.dropout_pallas import bernoulli_mask_pallas
+
+    with pltpu.force_tpu_interpret_mode():
+        a = bernoulli_mask_pallas(jax.random.PRNGKey(9), (8, 128), 0.5)
+        b = bernoulli_mask_pallas(jax.random.key(9, impl="rbg"), (8, 128), 0.5)
+    assert a.shape == b.shape == (8, 128)

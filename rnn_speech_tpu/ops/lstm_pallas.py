@@ -49,6 +49,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rnn_speech_tpu.ops import pallas_vma
+
 # Scoped-VMEM ceiling for the recurrence kernels.  The compiler's 16 MiB
 # default is sized for small fused loops; at B=128 the double-buffered
 # per-step blocks plus the resident (H, 4H) weight matrix need ~18 MiB.
@@ -103,7 +105,7 @@ def lstm_recurrence_pallas(
     T, B, four_h = x_proj.shape
     H = four_h // 4
 
-    out, hn, cn = pl.pallas_call(
+    out, hn, cn = pallas_vma.pallas_call(
         _recurrence_kernel,
         grid=(T,),
         in_specs=[
@@ -187,7 +189,7 @@ def _lstm_recurrence_train(x_proj, w_h, mask, h0, c0, res_dtype):
     the residual streams are stored in ``res_dtype``."""
     T, B, four_h = x_proj.shape
     H = four_h // 4
-    return pl.pallas_call(
+    return pallas_vma.pallas_call(
         _recurrence_train_kernel,
         grid=(T,),
         in_specs=[
@@ -290,7 +292,7 @@ def _lstm_recurrence_bwd(dout, gates_act, c_seq, c_prev_seq, mask, w_h,
     H = four_h // 4
     res_dtype = gates_act.dtype
     rev = lambda t: (T - 1 - t, 0, 0)
-    return pl.pallas_call(
+    return pallas_vma.pallas_call(
         _recurrence_bwd_kernel,
         grid=(T,),
         in_specs=[
@@ -385,7 +387,7 @@ def _lstm_recurrence_train_lean(x_proj, w_h, mask, h0, c0, res_dtype):
     """Forward with lean residuals. Returns (out, hn, cn, c_seq)."""
     T, B, four_h = x_proj.shape
     H = four_h // 4
-    return pl.pallas_call(
+    return pallas_vma.pallas_call(
         _recurrence_train_lean_kernel,
         grid=(T,),
         in_specs=[
@@ -491,7 +493,7 @@ def _lstm_recurrence_bwd_recompute(dout, x_rd, hprev_seq, c_seq, c_prev_seq,
     D = w_x.shape[0]
     res_dtype = x_rd.dtype
     rev = lambda t: (T - 1 - t, 0, 0)
-    return pl.pallas_call(
+    return pallas_vma.pallas_call(
         _recurrence_bwd_recompute_kernel,
         grid=(T,),
         in_specs=[

@@ -17,17 +17,39 @@ overhead amortizes L-fold), and the inter-layer activations never touch
 HBM — layers 1..L-1 read their input straight from the lower layer's VMEM
 state and apply their OWN input projection ``h^{l-1}·W_x`` in-kernel.
 
-The trade being measured: those in-kernel ``W_x`` matmuls replace
-full-occupancy (T·B)-row XLA matmuls with B-row per-step matmuls, and all
-L weight sets must stay VMEM-resident (~42 MB at 3×1024 bf16).  Semantics
-are identical to the layered path (each layer still sees its input
-exactly one diagonal after it is produced — a schedule change, not a math
-change); pinned against the layered forward by tests/test_lstm_wavefront.py.
+The TRAIN schedule additionally owns its whole memory contract (round 5 —
+VERDICT r4 next #1/#2; this is what fits B=96 whole-sequence training in
+a 16 GiB HBM):
+
+* **Layer 0's input projection runs in-kernel** (``x·W_x0`` per diagonal
+  with W_x0 VMEM-resident) instead of as a precomputed (T, B, 4H) f32
+  buffer — the single largest non-residual allocation (3.7 GB at B=64)
+  disappears.
+* **Inter-layer dropout masks regenerate from two seed words** via the
+  on-core PRNG inside BOTH kernels (same (boundary, t) seeding ⇒
+  identical bits — the property ops/dropout_pallas.py's VJP already
+  relies on): no (L-1, T, B, H) mask stream in HBM and no separate
+  mask-generation pass.
+* **The dropped boundary inputs are emitted by the BACKWARD kernel**,
+  not stored by the forward: ``x_drop_b(t) = mask_b(t)·scale·out_b(t)``
+  rebuilds from the (unaliased) outs residual at a block the kernel
+  already indexes, so the weight-gradient contraction
+  ``dW_x = x_dropᵀ·dgates`` gets its operand without a mask stream or a
+  second forward-side copy.  ``dgates`` aliases onto the activated-gates
+  residuals (``input_output_aliases`` — same shape, dtype and index map,
+  read-before-write within a grid step; no OTHER input reads the gates
+  buffer, so no cross-step write-after-read hazard exists — a constraint
+  this design deliberately preserves from the round-4 kernel, which is
+  proven on hardware).
+
+Semantics are identical to the layered path (each layer still sees its
+input exactly one diagonal after it is produced — a schedule change, not
+a math change); pinned against the layered forward and scan autodiff by
+tests/test_lstm_wavefront.py.
 
 Replaces the reference's stacked ``MultiRNNCell`` + ``dynamic_rnn`` time
-loop (/root/reference/models/AcousticModel.py:223-237,276-278) for the
-inference forward when ``RST_WAVEFRONT=1``; tools/wavefront_ab.py holds
-the on-chip A/B against the layered path.
+loop (/root/reference/models/AcousticModel.py:223-237,276-278);
+tools/wavefront_ab.py holds the on-chip A/B against the layered path.
 """
 
 from __future__ import annotations
@@ -37,12 +59,34 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_LIMIT = 96 << 20
+from rnn_speech_tpu.ops import pallas_vma
+
+_VMEM_LIMIT = 100 << 20
+
+# Seed mixers matching ops/dropout_pallas.py's scheme: decorrelate the
+# per-(boundary, timestep) PRNG streams by folding a unique index into
+# both seed words with odd multiplicative mixers (int32 wrap intended).
+_MIX1 = -1640531535          # 0x9E3779B1
+_MIX2 = -2048144789
+_MIXC = 0x632BE59B
 
 
+def _keep_bits(seed_ref, T, boundary, t, shape, keep_prob):
+    """Deterministic Bernoulli(keep_prob) {0,1} f32 bits for inter-layer
+    boundary ``boundary`` at timestep ``t``: a pure function of the two
+    seed words and (boundary, t), so the forward and reverse kernels
+    regenerate IDENTICAL masks with zero HBM mask storage."""
+    idx = boundary * T + t
+    s0 = seed_ref[0] ^ (idx * jnp.int32(_MIX1))
+    s1 = seed_ref[1] ^ ((idx + jnp.int32(_MIXC)) * jnp.int32(_MIX2))
+    pltpu.prng_seed(s0, s1)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thresh = jnp.uint32(min(int(round(keep_prob * 2.0**32)), 2**32 - 1))
+    return (bits < thresh).astype(jnp.float32)
 def _wavefront_kernel(n_layers, T, *refs):
     """refs layout: xp0, w_h, w_x, b, mask_0..mask_{L-1}, h0, c0,
     out, hn, cn, h_s, c_s."""
@@ -148,7 +192,7 @@ def lstm_stack_wavefront(
         pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out, hn, cn = pl.pallas_call(
+    out, hn, cn = pallas_vma.pallas_call(
         kernel,
         grid=(T + L - 1,),
         in_specs=in_specs,
@@ -183,20 +227,29 @@ def lstm_stack_wavefront(
     return out, hn, cn
 
 
-def _wavefront_train_kernel(n_layers, T, n_drop, drop_scale, *refs):
-    """Training forward on the diagonal, streaming the gates-mode
-    residuals the layered backward consumes (activated gates + carried
-    cell sequence + each layer's masked output) and applying the
-    inter-layer dropout in-kernel via precomputed scale masks.
+def _wavefront_train_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
+                            *refs):
+    """Training forward on the diagonal: layer 0's input projection runs
+    in-kernel (W_x0 VMEM-resident) and inter-layer dropout applies from
+    explicit mask blocks (drop_mode=1) or in-kernel PRNG regeneration
+    (drop_mode=2).  Streams the gates-mode residuals: activated gates,
+    carried cell sequence, and each layer's masked (undropped) output.
 
-    refs layout: xp0, w_h, w_x, b, drop_1..drop_{n_drop},
-    mask_0..mask_{L-1}, h0, c0, out_0..out_{L-1}, gates_0..gates_{L-1},
-    cseq_0..cseq_{L-1}, hn, cn, h_s, c_s."""
+    refs layout: x, w_x0, w_h, w_x_rest, b_all,
+    [seed | drop_1..drop_{L-1}], mask_0..mask_{L-1}, h0, c0,
+    out_0..out_{L-1}, gates_0..gates_{L-1}, cseq_0..cseq_{L-1},
+    hn, cn, h_s, c_s."""
     L = n_layers
-    xp0_ref, wh_ref, wx_ref, b_ref = refs[:4]
-    pos = 4
-    drop_refs = refs[pos : pos + n_drop]
-    pos += n_drop
+    x_ref, wx0_ref, wh_ref, wx_ref, b_ref = refs[:5]
+    pos = 5
+    seed_ref = None
+    drop_refs = ()
+    if drop_mode == 2:
+        seed_ref = refs[pos]
+        pos += 1
+    elif drop_mode == 1:
+        drop_refs = refs[pos : pos + L - 1]
+        pos += L - 1
     mask_refs = refs[pos : pos + L]
     pos += L
     h0_ref, c0_ref = refs[pos : pos + 2]
@@ -225,29 +278,31 @@ def _wavefront_train_kernel(n_layers, T, n_drop, drop_scale, *refs):
             c = c_s[l]
             H = h.shape[-1]
             if l == 0:
-                gates = xp0_ref[0] + jnp.dot(
-                    h.astype(wh_ref.dtype), wh_ref[0],
-                    preferred_element_type=jnp.float32,
+                gates = (
+                    b_ref[0, 0]
+                    + jnp.dot(x_ref[0], wx0_ref[...],
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(h.astype(wh_ref.dtype), wh_ref[0],
+                              preferred_element_type=jnp.float32)
                 )
             else:
                 x_in = h_s[l - 1]
-                if n_drop:
-                    # Masks carry {0, 1} bits (bf16 storage); the 1/keep
-                    # scale folds in as a compile-time constant so the
-                    # stream costs half the HBM of f32 scale masks.
+                if drop_mode == 1:
+                    # Masks carry {0, 1} bits; the 1/keep scale folds in
+                    # as a compile-time constant.
                     x_in = x_in * (
                         drop_refs[l - 1][0].astype(jnp.float32) * drop_scale
                     )
+                elif drop_mode == 2:
+                    keep = _keep_bits(seed_ref, T, l - 1, t_l, x_in.shape,
+                                      keep_prob)
+                    x_in = x_in * (keep * drop_scale)
                 gates = (
-                    b_ref[l - 1, 0]
-                    + jnp.dot(
-                        x_in.astype(wx_ref.dtype), wx_ref[l - 1],
-                        preferred_element_type=jnp.float32,
-                    )
-                    + jnp.dot(
-                        h.astype(wh_ref.dtype), wh_ref[l],
-                        preferred_element_type=jnp.float32,
-                    )
+                    b_ref[l, 0]
+                    + jnp.dot(x_in.astype(wx_ref.dtype), wx_ref[l - 1],
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(h.astype(wh_ref.dtype), wh_ref[l],
+                              preferred_element_type=jnp.float32)
                 )
             i_a = jax.nn.sigmoid(gates[:, :H])
             g_a = jnp.tanh(gates[:, H : 2 * H])
@@ -272,36 +327,47 @@ def _wavefront_train_kernel(n_layers, T, n_drop, drop_scale, *refs):
                 cn_ref[l] = c_s[l]
 
 
-def _wavefront_train(xp0, w_h, w_x_rest, b_rest, drop_masks, drop_scale,
-                     mask, h0, c0, res_dtype, interpret=False):
-    """Training forward. ``drop_masks`` is None or (L-1, T, B, H) {0, 1}
-    bit masks (any float dtype) applied — times the static ``drop_scale``
-    — to each inter-layer handoff.  Returns (outs (L, T, B, H) as L
-    arrays, gates (L arrays, res_dtype), cseqs (L arrays, res_dtype),
+def _wavefront_train(x, w_x0, w_h, w_x_rest, b_all, drop_mode, drop_arr,
+                     drop_scale, keep_prob, mask, h0, c0, res_dtype,
+                     interpret=False):
+    """Training forward.  ``drop_mode``: 0 none, 1 explicit {0,1} bit
+    masks in ``drop_arr`` (L-1, T, B, H), 2 in-kernel PRNG from the two
+    int32 seed words in ``drop_arr``.  Returns (outs (L arrays,
+    (T, B, H) res_dtype), gates (L arrays), cseqs (L arrays),
     hn (L, B, H), cn (L, B, H))."""
-    T, B, four_h = xp0.shape
+    T, B, D = x.shape
+    four_h = w_h.shape[-1]
     H = four_h // 4
     L = w_h.shape[0]
-    n_drop = 0 if drop_masks is None else L - 1
 
     clamp_t = lambda s, off: (jnp.clip(s - off, 0, T - 1), 0, 0)
     kernel = functools.partial(
-        _wavefront_train_kernel, L, T, n_drop, drop_scale
+        _wavefront_train_kernel, L, T, drop_mode, drop_scale, keep_prob
     )
     in_specs = [
-        pl.BlockSpec((1, B, four_h), lambda s: clamp_t(s, 0),
+        pl.BlockSpec((1, B, D), lambda s: clamp_t(s, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, four_h), lambda s: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((L, H, four_h), lambda s: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((L - 1, H, four_h), lambda s: (0, 0, 0),
+        pl.BlockSpec((max(L - 1, 1), H, four_h), lambda s: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((L - 1, 1, four_h), lambda s: (0, 0, 0),
+        pl.BlockSpec((L, 1, four_h), lambda s: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-    ] + [
-        pl.BlockSpec((1, B, H), functools.partial(clamp_t, off=l),
-                     memory_space=pltpu.VMEM)
-        for l in range(1, 1 + n_drop)
-    ] + [
+    ]
+    drop_args = []
+    if drop_mode == 2:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        drop_args = [drop_arr]
+    elif drop_mode == 1:
+        in_specs += [
+            pl.BlockSpec((1, B, H), functools.partial(clamp_t, off=l),
+                         memory_space=pltpu.VMEM)
+            for l in range(1, L)
+        ]
+        drop_args = [drop_arr[l] for l in range(L - 1)]
+    in_specs += [
         pl.BlockSpec((1, 1, B), functools.partial(clamp_t, off=l),
                      memory_space=pltpu.VMEM)
         for l in range(L)
@@ -323,9 +389,9 @@ def _wavefront_train(xp0, w_h, w_x_rest, b_rest, drop_masks, drop_scale,
            pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
                         memory_space=pltpu.VMEM)]
     )
-    # Every streamed residual — layer outputs included — stays in the
-    # residual dtype: f32 copies of the L output sequences alone pushed
-    # the B=64 T=3510 train step 216 MB past HBM capacity.
+    # Every streamed residual stays in the residual dtype - f32 copies of
+    # the output sequences alone pushed the B=64 T=3510 train step 216 MB
+    # past HBM capacity under the round-4 contract.
     out_shape = (
         [jax.ShapeDtypeStruct((T, B, H), res_dtype) for _ in range(L)]
         + [jax.ShapeDtypeStruct((T, B, four_h), res_dtype)
@@ -334,10 +400,8 @@ def _wavefront_train(xp0, w_h, w_x_rest, b_rest, drop_masks, drop_scale,
         + [jax.ShapeDtypeStruct((L, B, H), jnp.float32),
            jax.ShapeDtypeStruct((L, B, H), jnp.float32)]
     )
-    drop_args = [] if drop_masks is None else [
-        drop_masks[l] for l in range(L - 1)
-    ]
-    outs = pl.pallas_call(
+    rb = jnp.dtype(res_dtype).itemsize
+    outs = pallas_vma.pallas_call(
         kernel,
         grid=(T + L - 1,),
         in_specs=in_specs,
@@ -351,15 +415,14 @@ def _wavefront_train(xp0, w_h, w_x_rest, b_rest, drop_masks, drop_scale,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * H * four_h * (2 * L - 1),
+            flops=2 * T * B * H * four_h * 2 * L,
             bytes_accessed=T * B * (
-                four_h * (4 + L * jnp.dtype(res_dtype).itemsize)
-                + H * L * (4 + jnp.dtype(res_dtype).itemsize)
-            ) + (2 * L - 1) * H * four_h * w_h.dtype.itemsize,
+                D * x.dtype.itemsize + 6 * L * H * rb
+            ) + 2 * L * H * four_h * w_h.dtype.itemsize,
             transcendentals=4 * L * T * B * H,
         ),
         interpret=interpret,
-    )(xp0, w_h, w_x_rest, b_rest, *drop_args, *([mask] * L), h0, c0)
+    )(x, w_x0, w_h, w_x_rest, b_all, *drop_args, *([mask] * L), h0, c0)
     layer_outs = outs[:L]
     gates = outs[L : 2 * L]
     cseqs = outs[2 * L : 3 * L]
@@ -367,7 +430,8 @@ def _wavefront_train(xp0, w_h, w_x_rest, b_rest, drop_masks, drop_scale,
     return layer_outs, gates, cseqs, hn, cn
 
 
-def _wavefront_bwd_kernel(n_layers, T, n_drop, drop_scale, *refs):
+def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
+                          *refs):
     """Reverse diagonal: grid step ``s`` computes, for every layer ``l``
     with ``0 <= s - (L-1-l) < T``, that layer's reverse-time step at
     ``t = T-1 - (s - (L-1-l))`` — the backward mirror of the forward
@@ -375,17 +439,30 @@ def _wavefront_bwd_kernel(n_layers, T, n_drop, drop_scale, *refs):
     data-independent.  Layer l's upstream cotangent ``dout_l(t)`` is the
     layer above's ``dgates·W_x^T`` from the PREVIOUS diagonal, handed
     over in VMEM scratch (never materialized in HBM) with the inter-layer
-    dropout mask applied at the read site.
+    dropout mask applied at the read site (explicit block or PRNG regen).
 
-    refs layout: dout_top, w_h, w_x_rest, drop_0..drop_{n_drop-1},
+    When dropout is on, each boundary also EMITS its dropped-input stream
+    ``x_drop_b(t) = mask_b(t)·scale·out_b(t)`` — the operand the outside
+    weight-gradient contraction dW_x = x_dropT·dgates needs — rebuilt
+    from the (unaliased) outs residual at the same block index, so the
+    mask stream itself never exists in HBM.
+
+    refs layout: dout_top, w_h, w_x_rest, [seed | drop_0..drop_{n-1}],
     mask_0..mask_{L-1}, gates_0..gates_{L-1}, cseq_0..cseq_{L-1},
-    cprev_0..cprev_{L-1} (same arrays indexed at t-1), c0, dhn, dcn,
-    dgates_0..dgates_{L-1}, dh0, dc0, dh_s, dc_s, dx_s."""
+    cprev_0..cprev_{L-1}, [outs_0..outs_{L-2} when dropping], c0, dhn,
+    dcn, dgates_0..dgates_{L-1}, [xdrop_0..xdrop_{L-2} when dropping],
+    dh0, dc0, dh_s, dc_s, dx_s."""
     L = n_layers
     dout_ref, wh_ref, wx_ref = refs[:3]
     pos = 3
-    drop_refs = refs[pos : pos + n_drop]
-    pos += n_drop
+    seed_ref = None
+    drop_refs = ()
+    if drop_mode == 2:
+        seed_ref = refs[pos]
+        pos += 1
+    elif drop_mode == 1:
+        drop_refs = refs[pos : pos + L - 1]
+        pos += L - 1
     mask_refs = refs[pos : pos + L]
     pos += L
     gates_refs = refs[pos : pos + L]
@@ -394,10 +471,18 @@ def _wavefront_bwd_kernel(n_layers, T, n_drop, drop_scale, *refs):
     pos += L
     cprev_refs = refs[pos : pos + L]
     pos += L
+    outs_refs = ()
+    if drop_mode:
+        outs_refs = refs[pos : pos + L - 1]
+        pos += L - 1
     c0_ref, dhn_ref, dcn_ref = refs[pos : pos + 3]
     pos += 3
     dgates_refs = refs[pos : pos + L]
     pos += L
+    xdrop_refs = ()
+    if drop_mode:
+        xdrop_refs = refs[pos : pos + L - 1]
+        pos += L - 1
     dh0_ref, dc0_ref, dh_s, dc_s, dx_s = refs[pos : pos + 5]
 
     s = pl.program_id(0)
@@ -415,14 +500,30 @@ def _wavefront_bwd_kernel(n_layers, T, n_drop, drop_scale, *refs):
                 dh_s[l] = dhn_ref[l]
                 dc_s[l] = dcn_ref[l]
 
+            if drop_mode and l < L - 1:
+                if drop_mode == 1:
+                    keep_scale = (
+                        drop_refs[l][0].astype(jnp.float32) * drop_scale
+                    )
+                else:
+                    keep_scale = _keep_bits(
+                        seed_ref, T, l, t_l,
+                        (dh_s.shape[-2], dh_s.shape[-1]), keep_prob
+                    ) * drop_scale
+                # Emit this boundary's dropped-input stream for the
+                # outside dW_x contraction (reads the UNALIASED outs
+                # residual; the forward's operand was the f32 pre-cast
+                # value — same values to residual-dtype rounding).
+                xdrop_refs[l][0] = (
+                    outs_refs[l][0].astype(jnp.float32) * keep_scale
+                ).astype(xdrop_refs[l].dtype)
+
             if l == L - 1:
                 dout = dout_ref[0].astype(jnp.float32)
             else:
                 dout = dx_s[l]
-                if n_drop:
-                    dout = dout * (
-                        drop_refs[l][0].astype(jnp.float32) * drop_scale
-                    )
+                if drop_mode:
+                    dout = dout * keep_scale
 
             gates = gates_refs[l][0].astype(jnp.float32)
             H = dh_s.shape[-1]
@@ -473,20 +574,23 @@ def _wavefront_bwd_kernel(n_layers, T, n_drop, drop_scale, *refs):
                 dc0_ref[l] = dc_s[l]
 
 
-def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_masks, drop_scale,
-                   mask, gates, cseqs, c0, dhn, dcn, interpret=False):
-    """Whole-stack reverse diagonal.  ``gates``/``cseqs`` are the forward
-    wavefront's per-layer residual streams; returns (dgates per layer
-    (T, B, 4H) residual-dtype, dh0 (L, B, H), dc0 (L, B, H))."""
+def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_mode, drop_arr,
+                   drop_scale, keep_prob, mask, gates, cseqs, layer_outs,
+                   c0, dhn, dcn, interpret=False):
+    """Whole-stack reverse diagonal.  ``gates``/``cseqs``/``layer_outs``
+    are the forward wavefront's per-layer residual streams; returns
+    (dgates per layer (T, B, 4H) residual-dtype, xdrops (L-1 dropped
+    boundary-input streams when dropout is on, else ()), dh0 (L, B, H),
+    dc0 (L, B, H))."""
     T, B, four_h = gates[0].shape
     H = four_h // 4
     L = w_h.shape[0]
-    n_drop = 0 if drop_masks is None else L - 1
+    n_x = L - 1 if drop_mode else 0
 
     revoff = lambda s, off: (jnp.clip(T - 1 - (s - off), 0, T - 1), 0, 0)
     prevoff = lambda s, off: (jnp.clip(T - 2 - (s - off), 0, T - 1), 0, 0)
     kernel = functools.partial(
-        _wavefront_bwd_kernel, L, T, n_drop, drop_scale
+        _wavefront_bwd_kernel, L, T, drop_mode, drop_scale, keep_prob
     )
     in_specs = [
         # The TOP layer leads the reverse diagonal (off = 0); lower
@@ -495,14 +599,22 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_masks, drop_scale,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((L, H, four_h), lambda s: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((L - 1, H, four_h), lambda s: (0, 0, 0),
+        pl.BlockSpec((max(L - 1, 1), H, four_h), lambda s: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-    ] + [
-        # Boundary-l mask, consumed by layer l on its own diagonal.
-        pl.BlockSpec((1, B, H), functools.partial(revoff, off=L - 1 - l),
-                     memory_space=pltpu.VMEM)
-        for l in range(n_drop)
-    ] + [
+    ]
+    drop_args = []
+    if drop_mode == 2:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        drop_args = [drop_arr]
+    elif drop_mode == 1:
+        in_specs += [
+            # Boundary-l mask, consumed by layer l on its own diagonal.
+            pl.BlockSpec((1, B, H), functools.partial(revoff, off=L - 1 - l),
+                         memory_space=pltpu.VMEM)
+            for l in range(L - 1)
+        ]
+        drop_args = [drop_arr[l] for l in range(L - 1)]
+    in_specs += [
         pl.BlockSpec((1, 1, B), functools.partial(revoff, off=L - 1 - l),
                      memory_space=pltpu.VMEM)
         for l in range(L)
@@ -519,6 +631,10 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_masks, drop_scale,
                      memory_space=pltpu.VMEM)
         for l in range(L)
     ] + [
+        pl.BlockSpec((1, B, H), functools.partial(revoff, off=L - 1 - l),
+                     memory_space=pltpu.VMEM)
+        for l in range(n_x)
+    ] + [
         pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
@@ -532,6 +648,10 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_masks, drop_scale,
                      memory_space=pltpu.VMEM)
         for l in range(L)
     ] + [
+        pl.BlockSpec((1, B, H), functools.partial(revoff, off=L - 1 - l),
+                     memory_space=pltpu.VMEM)
+        for l in range(n_x)
+    ] + [
         pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
@@ -539,20 +659,20 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_masks, drop_scale,
     ]
     out_shape = (
         [jax.ShapeDtypeStruct((T, B, four_h), rd) for _ in range(L)]
+        + [jax.ShapeDtypeStruct((T, B, H), rd) for _ in range(n_x)]
         + [jax.ShapeDtypeStruct((L, B, H), jnp.float32),
            jax.ShapeDtypeStruct((L, B, H), jnp.float32)]
     )
-    drop_args = [] if drop_masks is None else [
-        drop_masks[l] for l in range(L - 1)
-    ]
     # dgates_l writes back into gates_l's buffer: same (T, B, 4H) shape,
     # dtype and index map, the gates block is read before dgates is
-    # written within each grid step, and the activated gates' last use is
-    # this kernel.  Without the alias all L dgates streams (5.5 GB at
-    # flagship shapes) allocate NEXT TO all L gates residuals and the
-    # B=64 T=3510 train step overflows HBM.
+    # written within a grid step, and the activated gates' last use is
+    # this kernel (outs/cseq — the buffers read at other offsets — are
+    # NOT aliased, so no cross-step write-after-read hazard exists).
+    # Without the alias all L dgates streams (5.5 GB at flagship shapes)
+    # allocate NEXT TO all L gates residuals and whole-sequence training
+    # overflows HBM (VERDICT r4).
     gates_base = 3 + len(drop_args) + L
-    outs = pl.pallas_call(
+    outs = pallas_vma.pallas_call(
         kernel,
         grid=(T + L - 1,),
         in_specs=in_specs,
@@ -570,60 +690,64 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_masks, drop_scale,
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * H * four_h * (2 * L - 1),
             bytes_accessed=T * B * (
-                four_h * 2 * rd.itemsize + H * (4 + 3 * rd.itemsize)
+                four_h * 2 * rd.itemsize + H * (4 + 4 * rd.itemsize)
             ) + (2 * L - 1) * H * four_h * w_h.dtype.itemsize,
-            transcendentals=L * T * B * H,
+            transcendentals=2 * L * T * B * H,
         ),
         interpret=interpret,
     )(dout_top, w_h, w_x_rest, *drop_args, *([mask] * L), *gates,
-      *cseqs, *cseqs, c0, dhn, dcn)
-    return outs[:L], outs[L], outs[L + 1]
+      *cseqs, *cseqs, *(layer_outs[: L - 1] if drop_mode else []),
+      c0, dhn, dcn)
+    dgates = outs[:L]
+    xdrops = outs[L : L + n_x]
+    return dgates, xdrops, outs[L + n_x], outs[L + n_x + 1]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _wavefront_stack_core(w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
                           drop_and_state, cd, rd, interpret, drop_scale,
-                          bwd_wavefront):
+                          bwd_wavefront, drop_mode, keep_prob):
     """Differentiable L-layer wavefront stack (gates-mode residuals).
 
-    ``drop_and_state`` = (drop_masks or None, c0 (L, B, H), h0 (L, B, H)),
-    masks carrying {0, 1} bits scaled by the static ``drop_scale``.
-    Returns (out_top (T, B, H) f32, cn (L, B, H), hn (L, B, H)).  The
-    backward reuses the layered reverse-time kernel per layer — the
-    wavefront changes the FORWARD schedule only; the math (and the
-    residual contract) is identical to the layered gates-mode path."""
+    ``drop_and_state`` = (drop_arr, c0 (L, B, H), h0 (L, B, H)) where
+    ``drop_arr`` is None (drop_mode 0), {0, 1} bit masks (L-1, T, B, H)
+    scaled by the static ``drop_scale`` (drop_mode 1), or two int32 PRNG
+    seed words (drop_mode 2).  Returns (out_top (T, B, H) residual-dtype,
+    cn (L, B, H), hn (L, B, H))."""
     primal, _ = _wavefront_stack_fwd(
         w_x0, w_x_rest, w_h, b0, b_rest, x, mask, drop_and_state,
-        cd, rd, interpret, drop_scale, bwd_wavefront,
+        cd, rd, interpret, drop_scale, bwd_wavefront, drop_mode, keep_prob,
     )
     return primal
 
 
 def _wavefront_stack_fwd(w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
                          drop_and_state, cd, rd, interpret, drop_scale,
-                         bwd_wavefront):
-    drop_masks, c0, h0 = drop_and_state
-    xp0 = jnp.dot(
-        x.astype(cd), w_x0.astype(cd), preferred_element_type=jnp.float32
-    ) + b0.astype(jnp.float32)
+                         bwd_wavefront, drop_mode, keep_prob):
+    drop_arr, c0, h0 = drop_and_state
+    b_all = jnp.concatenate(
+        [b0.astype(jnp.float32)[None], b_rest.astype(jnp.float32)], axis=0
+    )[:, None, :]
+    x_c = x.astype(cd)
     layer_outs, gates, cseqs, hn, cn = _wavefront_train(
-        xp0, w_h.astype(cd), w_x_rest.astype(cd),
-        b_rest.astype(jnp.float32)[:, None, :], drop_masks, drop_scale,
+        x_c, w_x0.astype(cd), w_h.astype(cd), w_x_rest.astype(cd),
+        b_all, drop_mode, drop_arr, drop_scale, keep_prob,
         mask, h0.astype(jnp.float32), c0.astype(jnp.float32), rd,
         interpret=interpret,
     )
-    residuals = (w_x0, w_x_rest, w_h, x, mask, drop_masks, c0, h0,
+    residuals = (w_x0, w_x_rest, w_h, x_c, mask, drop_arr, c0, h0,
                  layer_outs, gates, cseqs)
     return (layer_outs[-1], cn, hn), residuals
 
 
 def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
-                         residuals, cotangents):
+                         drop_mode, keep_prob, residuals, cotangents):
     from rnn_speech_tpu.ops.lstm_pallas import (
         _lstm_recurrence_bwd, _weight_grads,
     )
 
-    (w_x0, w_x_rest, w_h, x, mask, drop_masks, c0, h0,
+    (w_x0, w_x_rest, w_h, x_c, mask, drop_arr, c0, h0,
      layer_outs, gates, cseqs) = residuals
     dout_top, dcn, dhn = cotangents
     L = w_h.shape[0]
@@ -631,16 +755,24 @@ def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
     if bwd_wavefront:
         # Fused reverse diagonal: one kernel, T+L-1 steps, inter-layer
         # cotangents handed over in VMEM (vs L sequential T-step reverse
-        # kernels with (T, B, H) dout temps between them).
-        dgates_all, dh0, dc0 = _wavefront_bwd(
+        # kernels with (T, B, H) dout temps between them); the dropped
+        # boundary inputs for dW_x are emitted by the same kernel.
+        dgates_all, xdrops, dh0, dc0 = _wavefront_bwd(
             dout_top, w_h.astype(cd), w_x_rest.astype(cd),
-            drop_masks, drop_scale, mask, list(gates), list(cseqs),
+            drop_mode, drop_arr, drop_scale, keep_prob, mask,
+            list(gates), list(cseqs), list(layer_outs),
             c0.astype(jnp.float32), dhn, dcn, interpret=interpret,
         )
         dgates_all = list(dgates_all)
+        xdrops = list(xdrops)
         dh0s = [dh0[l] for l in range(L)]
         dc0s = [dc0[l] for l in range(L)]
     else:
+        # Layered per-layer reverse kernels (A/B fallback).  Consumes
+        # masks outside the fused kernels, so seed mode is downgraded to
+        # a materialized stream before reaching here (see
+        # lstm_stack_wavefront_train).
+        assert drop_mode != 2, "layered fallback needs explicit masks"
         dgates_all = [None] * L
         dh0s, dc0s = [None] * L, [None] * L
         dout = dout_top
@@ -658,10 +790,14 @@ def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
                     w_x_rest[l - 1].astype(cd),
                     preferred_element_type=jnp.float32,
                 )
-                if drop_masks is not None:
+                if drop_mode == 1:
                     dout = dout * (
-                        drop_masks[l - 1].astype(jnp.float32) * drop_scale
+                        drop_arr[l - 1].astype(jnp.float32) * drop_scale
                     )
+        xdrops = [
+            layer_outs[l] * (drop_arr[l].astype(jnp.float32) * drop_scale)
+            for l in range(L - 1)
+        ] if drop_mode == 1 else []
 
     dw_h_list, db_list, dwx_rest_list = [], [], []
     dw_x0 = db0 = None
@@ -671,14 +807,13 @@ def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
             axis=0,
         )
         if l == 0:
-            x_l = x
+            x_l = x_c
+        elif drop_mode:
+            x_l = xdrops[l - 1]
         else:
             x_l = layer_outs[l - 1]
-            if drop_masks is not None:
-                x_l = x_l * (
-                    drop_masks[l - 1].astype(jnp.float32) * drop_scale
-                )
-        dw_h_l, dw_x_l, db_l = _weight_grads(h_prev, x_l, dgates_all[l], cd)
+        dw_h_l, dw_x_l, db_l = _weight_grads(h_prev, x_l,
+                                             dgates_all[l], cd)
         if l == 0:
             dw_x0 = dw_x_l.astype(w_x0.dtype)
             db0 = db_l
@@ -690,7 +825,7 @@ def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
     dx = jnp.einsum(
         "tbg,dg->tbd", dgates_all[0].astype(cd), w_x0.astype(cd),
         preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    ).astype(x_c.dtype)
     dw_h = jnp.stack(dw_h_list)
     dw_x_rest = (
         jnp.stack([g.astype(w_x_rest.dtype) for g in dwx_rest_list])
@@ -702,9 +837,14 @@ def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
     )
     dc0 = jnp.stack(dc0s).astype(c0.dtype)
     dh0 = jnp.stack(dh0s).astype(h0.dtype)
-    none_drop = None if drop_masks is None else jnp.zeros_like(drop_masks)
+    if drop_arr is None:
+        ddrop = None
+    elif jnp.issubdtype(drop_arr.dtype, jnp.integer):
+        ddrop = np.zeros(drop_arr.shape, jax.dtypes.float0)
+    else:
+        ddrop = jnp.zeros_like(drop_arr)
     return (dw_x0, dw_x_rest, dw_h, db0, db_rest, dx,
-            jnp.zeros_like(mask), (none_drop, dc0, dh0))
+            jnp.zeros_like(mask), (ddrop, dc0, dh0))
 
 
 _wavefront_stack_core.defvjp(_wavefront_stack_fwd, _wavefront_stack_bwd)
@@ -717,6 +857,8 @@ def lstm_stack_wavefront_train(
     states,                  # sequence of (c, h) per layer
     drop_masks=None,         # None or (L-1, T, B, H) {0,1} bit masks
     drop_scale: float = 1.0,  # static 1/keep scale applied with the bits
+    drop_seed=None,          # or (2,) int32 seed words: in-kernel PRNG
+    drop_keep: float = 1.0,  # static keep prob for the seed mode
     compute_dtype=jnp.float32,
     residual_dtype=None,
     interpret: bool = False,
@@ -726,20 +868,45 @@ def lstm_stack_wavefront_train(
     gates-mode semantics (given the same inter-layer dropout masks).
     Returns (out (T, B, H), [(c, h)] per layer).
 
+    Inter-layer dropout comes in two forms: ``drop_masks`` (explicit
+    {0, 1} bits x static ``drop_scale`` — the parity-testable form) or
+    ``drop_seed`` + ``drop_keep`` (two int32 words; both kernels draw the
+    bits with the core PRNG, so no mask stream ever exists in HBM).
+
     ``bwd_wavefront`` selects the backward schedule: the fused reverse
     diagonal (True, the default) or the layered per-layer reverse kernels
-    (False) — resolved at TRACE time, so callers A/B-ing must retrace."""
+    (False) — resolved at TRACE time, so callers A/B-ing must retrace.
+    The layered fallback consumes masks outside the fused kernels, so
+    seed-mode dropout is downgraded to a materialized stream there."""
     import os
 
     if bwd_wavefront is None:
         bwd_wavefront = os.environ.get("RST_WAVEFRONT_BWD", "1") != "0"
+    if drop_masks is not None and drop_seed is not None:
+        raise ValueError("pass drop_masks or drop_seed, not both")
     T, B, _ = x.shape
     L = len(layer_params)
+    H = layer_params[0]["w_h"].shape[0]
     if residual_dtype is None:
         residual_dtype = (
             jnp.bfloat16 if jnp.dtype(compute_dtype) == jnp.bfloat16
             else jnp.float32
         )
+    if drop_seed is not None and not bwd_wavefront:
+        from rnn_speech_tpu.ops.dropout_pallas import bernoulli_mask_pallas
+
+        drop_masks = bernoulli_mask_pallas(
+            jax.lax.bitcast_convert_type(drop_seed, jnp.uint32),
+            (L - 1, T, B, H), drop_keep, jnp.bfloat16,
+        )
+        drop_scale = 1.0 / float(drop_keep)
+        drop_seed = None
+    if drop_seed is not None:
+        drop_mode, drop_arr = 2, drop_seed
+    elif drop_masks is not None:
+        drop_mode, drop_arr = 1, drop_masks
+    else:
+        drop_mode, drop_arr = 0, None
     mask = (jnp.arange(T)[:, None] < seq_lengths[None, :]).astype(
         jnp.float32
     )[:, None, :]
@@ -749,7 +916,6 @@ def lstm_stack_wavefront_train(
         w_x_rest = jnp.stack([p["w_x"] for p in layer_params[1:]])
         b_rest = jnp.stack([p["b"] for p in layer_params[1:]])
     else:
-        H = layer_params[0]["w_h"].shape[0]
         w_x_rest = jnp.zeros((0, H, 4 * H), w_x0.dtype)
         b_rest = jnp.zeros((0, 4 * H), b0.dtype)
     w_h = jnp.stack([p["w_h"] for p in layer_params])
@@ -757,9 +923,9 @@ def lstm_stack_wavefront_train(
     h0 = jnp.stack([h for _, h in states])
     out, cn, hn = _wavefront_stack_core(
         w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
-        (drop_masks, c0, h0), jnp.dtype(compute_dtype),
+        (drop_arr, c0, h0), jnp.dtype(compute_dtype),
         jnp.dtype(residual_dtype), interpret, float(drop_scale),
-        bool(bwd_wavefront),
+        bool(bwd_wavefront), drop_mode, float(drop_keep),
     )
     return out, [(cn[l], hn[l]) for l in range(L)]
 

@@ -221,6 +221,15 @@ def train_acoustic(
         use_pallas_ctc=tpu.use_pallas_ctc and jax.default_backend() != "cpu",
         spec_augment=config.spec_augment,
     )
+    # Metric-cadence variants ([training] train_metric_every): the greedy
+    # decode + edit distance run only on every Nth step; the loss (part of
+    # the gradient program anyway) accumulates every step.  Two static
+    # configs = two XLA programs, compiled once each; N = 1 (the
+    # reference's every-step cadence) never compiles the second.
+    metric_every = max(int(getattr(config, "train_metric_every", 1)), 1)
+    import dataclasses as _dc
+
+    scfg_nometric = _dc.replace(scfg, train_metric=False)
 
     state = step_mod.init_train_state(
         jax.random.PRNGKey(0), model_cfg, batch_size, config.learning_rate
@@ -337,19 +346,24 @@ def train_acoustic(
     pending = None    # (session step number, metrics, dispatch_time)
 
     def drain_pending():
-        nonlocal pending, window_err, window_steps
+        nonlocal pending, window_err, window_steps, window_ran
         if pending is None:
             return
-        step_no, m, t_disp = pending
+        step_no, m, t_disp, with_metric = pending
         pending = None
         err = float(m["mean_error_rate"])     # blocks until that step is done
-        window_err += err
-        window_steps += 1
+        window_ran += 1
+        if with_metric:
+            # Only metric-bearing steps enter the window mean the plateau
+            # policy decays on (metric-free steps report a structural 0).
+            window_err += err
+            window_steps += 1
         if step_hook is not None:
             step_hook(step_no, m)
         logger.info(
             "Batch %d : loss %.5f - error_rate %.5f - duration %.2f",
-            global_step0 + step_no, float(m["mean_loss"]), err,
+            global_step0 + step_no, float(m["mean_loss"]),
+            err if with_metric else float("nan"),
             time.time() - t_disp,
         )
 
@@ -369,7 +383,7 @@ def train_acoustic(
 
     try:
         while True:
-            window_err, window_steps = 0.0, 0
+            window_err, window_steps, window_ran = 0.0, 0, 0
             for _ in range(config.steps_per_checkpoint):
                 batch, rolled = next_batch()
                 if max_epoch is not None and n_proc == 1 and \
@@ -385,13 +399,17 @@ def train_acoustic(
                 # reference's per-step chrome traces
                 # (AcousticModel._write_timeline); TraceAnnotation marks
                 # the host phases inside each step.
+                with_metric = (
+                    metric_every <= 1 or total_steps % metric_every == 0
+                )
+                step_cfg = scfg if with_metric else scfg_nometric
                 with jax.profiler.StepTraceAnnotation(
                     "train", step_num=total_steps
                 ):
                     with jax.profiler.TraceAnnotation("host/put_batch"):
                         device_batch = put_batch(batch)
                     state, metrics = train_fn(
-                        scfg, state, device_batch, sub,
+                        step_cfg, state, device_batch, sub,
                         jnp.asarray(
                             reset_coin(config.rnn_state_reset_ratio, coin_rng)
                         ),
@@ -399,7 +417,7 @@ def train_acoustic(
                 total_steps += 1
                 with jax.profiler.TraceAnnotation("host/metrics_drain"):
                     drain_pending()   # previous step, while this one runs
-                pending = (total_steps, metrics, t_disp)
+                pending = (total_steps, metrics, t_disp, with_metric)
                 if tracing and total_steps >= TRACE_LAST:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
@@ -408,7 +426,7 @@ def train_acoustic(
                 if max_steps is not None and total_steps >= max_steps:
                     break
             drain_pending()       # window tail, before the stats are used
-            if window_steps == 0:
+            if window_ran == 0:
                 # A window that ran no steps (max_epoch/max_steps tripped at
                 # the boundary) has no mean to log or decay on — feeding 0.0
                 # to the plateau policy would register a spurious "new best"
@@ -421,11 +439,16 @@ def train_acoustic(
                 if max_steps is not None and total_steps >= max_steps:
                     break
                 continue
-            # Mean over the steps actually drained: a window truncated by
-            # max_steps/max_epoch would otherwise report a mean biased low
-            # by steps_run/steps_per_checkpoint — and that biased value
-            # feeds both TensorBoard and the plateau policy.
-            window_err /= window_steps
+            # Mean over the metric-bearing steps actually drained: a
+            # window truncated by max_steps/max_epoch would otherwise
+            # report a mean biased low by steps_run/steps_per_checkpoint —
+            # and that biased value feeds both TensorBoard and the plateau
+            # policy.  A window whose cadence produced no metric steps
+            # (train_metric_every > steps_per_checkpoint) still
+            # checkpoints; it just cannot update the plateau policy.
+            have_window_err = window_steps > 0
+            if have_window_err:
+                window_err /= window_steps
 
             current_step = int(state["step"])
             # The replication gather is a COLLECTIVE: every process must
@@ -436,7 +459,9 @@ def train_acoustic(
                           float(state["lr"]))
             if writer:
                 writer.add_scalar("learning_rate", float(state["lr"]), current_step)
-                writer.add_scalar("train/mean_error_rate", window_err, current_step)
+                if have_window_err:
+                    writer.add_scalar("train/mean_error_rate", window_err,
+                                      current_step)
                 for li, (c, h) in enumerate(state["states"]):
                     # Data-sharded states: on pods only this host's rows
                     # are addressable; histogram those (representative —
@@ -465,7 +490,7 @@ def train_acoustic(
                     writer.add_scalar("test/mean_error_rate",
                                       eval_metrics["mean_error_rate"], current_step)
 
-            if policy.update(window_err):
+            if have_window_err and policy.update(window_err):
                 state["lr"] = state["lr"] * policy.decay_factor
                 logger.info("Model is not improving, decaying the learning rate")
                 if float(state["lr"]) < MIN_LEARNING_RATE:

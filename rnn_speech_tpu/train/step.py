@@ -65,6 +65,15 @@ class StepConfig:
     greedy_metric_max_out: int = 0        # cap decode width for the metric
     use_pallas_ctc: bool = False          # fused CTC kernels (TPU only)
     spec_augment: bool = False            # on-device time/freq masking (train)
+    # Compute the greedy-decode + edit-distance train metric in this step.
+    # The reference ran its beam decoder every mini-batch only because its
+    # graph tied ``prediction`` to the error accumulator
+    # (/root/reference/models/AcousticModel.py:363-383); the metric is
+    # observability, not gradient, so the train loop can run it on a
+    # configurable cadence ([training] train_metric_every) by alternating
+    # two step variants.  False skips the decode entirely (the loss still
+    # accumulates every step) and reports error-rate 0 with count 0.
+    train_metric: bool = True
 
 
 def _ctc_loss_fn(cfg: "StepConfig"):
@@ -182,13 +191,19 @@ def accumulate_grads(
         )(params, cfg, states, feats, frame_lengths, labels, label_lengths,
           drop_rng)
 
-        # Error-rate metric: greedy decode vs truth, no gradient.
-        pred, pred_len = decode.greedy_decode(
-            jax.lax.stop_gradient(logits),
-            acoustic.output_lengths(cfg.model, frame_lengths),
-            max_output=cfg.greedy_metric_max_out or labels.shape[1],
-        )
-        err = editdistance.error_rate(pred, pred_len, labels, label_lengths)
+        # Error-rate metric: greedy decode vs truth, no gradient.  Gated
+        # by cfg.train_metric (static) so metric-free steps never trace
+        # the decode/DP at all.
+        if cfg.train_metric:
+            pred, pred_len = decode.greedy_decode(
+                jax.lax.stop_gradient(logits),
+                acoustic.output_lengths(cfg.model, frame_lengths),
+                max_output=cfg.greedy_metric_max_out or labels.shape[1],
+            )
+            err = editdistance.error_rate(pred, pred_len, labels,
+                                          label_lengths)
+        else:
+            err = jnp.zeros((), jnp.float32)
 
         grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
         # All-padding microbatches (short final macro batch) contribute 0

@@ -39,7 +39,7 @@ def test_bench_train_falls_back_and_records_rung(monkeypatch):
     assert calls[1]["RST_FUSED_WGRAD"] is None
     assert calls[2]["RST_FUSED_WGRAD"] == "0"
     assert calls[3] == {"RST_WAVEFRONT": "0", "RST_FUSED_WGRAD": "0",
-                        "RST_FUSED_DROPOUT": "0", "RST_CTC_KBLOCK": "1"}
+                        "RST_FUSED_DROPOUT": "0", "RST_CTC_KBLOCK": "8"}
     # The ladder's env vars must not leak out of bench_train.
     for k in ("RST_WAVEFRONT", "RST_FUSED_WGRAD", "RST_FUSED_DROPOUT",
               "RST_CTC_KBLOCK"):

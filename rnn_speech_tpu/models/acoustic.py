@@ -177,7 +177,13 @@ def forward(
     if cfg.normalization:
         x = _batch_norm(x)
 
-    hidden, new_states = lstm.lstm_stack(
+    # Hand the output projection to the stack as its fused head: on the
+    # wavefront train path the top dropout site + projection rematerialize
+    # together, so the dropped (T, B, H) copy is not a backward residual
+    # (658 MB of the B=96 flagship HBM peak — see lstm.lstm_stack).
+    head = (lambda h: dense(h, params["output"]["w"],
+                            params["output"]["b"], cd))
+    logits, new_states = lstm.lstm_stack(
         params["lstm"], x, seq_lengths, states,
         compute_dtype=cd,
         dropout_rng=dropout_rng,
@@ -188,9 +194,8 @@ def forward(
         time_chunk=cfg.time_chunk,
         residual_mode=cfg.residual_mode,
         wavefront=cfg.wavefront,
+        head=head,
     )
-
-    logits = dense(hidden, params["output"]["w"], params["output"]["b"], cd)
     return logits, new_states
 
 
@@ -227,18 +232,28 @@ def training_residual_bytes(
     stack at T frames (post frame-stacking) and device batch B.
 
     ``"gates"`` stores per layer/step the activated gates (4H, residual
-    dtype), the carried cell (H, residual dtype), plus the f32 layer
-    output and input kept by the surrounding autodiff (2 * 4H bytes).
-    ``"recompute"`` stores only residual-dtype copies of the cell
-    sequence, layer output and layer input (3H bytes at bf16) — gates are
-    rebuilt inside the backward kernel."""
+    dtype) and the carried cell (H, residual dtype).  Under the wavefront
+    schedule the layer-output streams are also residual-dtype and the
+    backward's dgates alias onto the gates residuals
+    (ops/lstm_wavefront.py) — per layer/step that is 6H residual-dtype
+    bytes plus one residual-dtype dropped-boundary-input stream per
+    inter-layer boundary emitted by the backward.  The LAYERED path keeps
+    f32 layer outputs/inputs in the surrounding autodiff (2 * 4H bytes
+    extra).  ``"recompute"`` stores only residual-dtype copies of the
+    cell sequence, layer output and layer input (3H bytes at bf16) —
+    gates are rebuilt inside the backward kernel."""
     H = cfg.hidden_size
+    L = cfg.num_layers
     rb = 2 if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16 else 4
     if residual_mode == "recompute":
         per_step_layer = B * 3 * H * rb
+    elif getattr(cfg, "wavefront", False) and cfg.use_pallas:
+        # 6H residuals/layer + the backward's (L-1) xdrop emissions,
+        # amortized per layer-step.
+        per_step_layer = B * H * rb * (6 + (L - 1) / max(L, 1))
     else:
         per_step_layer = B * (4 * H * rb + H * rb + 8 * H)
-    return cfg.num_layers * T * per_step_layer
+    return int(L * T * per_step_layer)
 
 
 def training_memory_plan(

@@ -509,25 +509,28 @@ def _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths, blank_id,
     # The (T, B, S) f32 alphas stream never hits HBM — in EITHER pass.
     # Loss-only forwards run the loss-only alpha kernel.  Training
     # forwards emit per-K-block alpha CHECKPOINTS (T/K, B, S — K'th the
-    # footprint) and keep lp_ext itself as the other residual; the
-    # backward's fused kernel rebuilds each block's alpha rows in VMEM
-    # from its predecessor's checkpoint (``_beta_post_ckpt_kernel``),
-    # bit-identical to the forward recursion.  Re-deriving lp_ext in the
-    # backward instead would materialize split-matmul term products and a
-    # layout-transposition copy (2×~2.1 GB at B=128 reference shapes —
-    # the allocations that kept whole-sequence B=128 training from
-    # compiling), so lp_ext is pinned behind an optimization barrier.
+    # footprint); the backward's fused kernel rebuilds each block's alpha
+    # rows in VMEM from its predecessor's checkpoint
+    # (``_beta_post_ckpt_kernel``), bit-identical to the forward
+    # recursion.  The f32 lattice itself is NOT a residual either: the
+    # backward re-derives it from log_probs (30x smaller) with the same
+    # single batch-major HIGHEST-precision einsum, behind an
+    # optimization barrier so CSE cannot unify the two dots into one
+    # buffer that lives across the whole LSTM residual production —
+    # carried across that gap, XLA remat-"compresses" the 1.6 GB lattice
+    # into a second layout-changed copy and the two coexist at the peak
+    # (measured +1.54 GB at B=96 flagship shapes: exactly the allocation
+    # that kept whole-sequence B=96 gates training from compiling).
     if not want_residuals:
         _, last = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=False)
         logp = _terminal_logp(last, label_lengths)
         valid = (label_lengths <= logit_lengths) & (logit_lengths > 0)
         return jnp.where(valid, -logp, 0.0), None
-    lp_ext = jax.lax.optimization_barrier(lp_ext)
     ckpts, last = _alphas_pallas(lp_ext, live, skip_f, emit_alphas="ckpt")
     logp = _terminal_logp(last, label_lengths)
     valid = (label_lengths <= logit_lengths) & (logit_lengths > 0)
     loss = jnp.where(valid, -logp, 0.0)
-    residuals = (log_probs, lp_ext, ckpts, logp, ext, skip_f, live,
+    residuals = (log_probs, ckpts, logp, ext, skip_f, live,
                  logit_lengths, label_lengths, valid)
     return loss, residuals
 
@@ -553,12 +556,26 @@ def _ctc_fwd(logits, logit_lengths, labels, label_lengths, blank_id,
 
 
 def _ctc_bwd(blank_id, post_dtype, residuals, g):
-    (log_probs, lp_ext, ckpts, logp, ext, skip_f, live,
+    (log_probs, ckpts, logp, ext, skip_f, live,
      logit_lengths, label_lengths, valid) = residuals
     T, B, V = log_probs.shape                 # log_probs is unpadded …
-    Tp = lp_ext.shape[1]                      # … lp_ext/live carry the pad
+    Tp = live.shape[0]                        # … live carries the pad
     S = ext.shape[1]
     onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)    # (B, S, V)
+
+    # Re-derive the f32 lattice for this pass only (see _ctc_fwd_impl):
+    # same batch-major HIGHEST-precision dot as the forward, on
+    # barrier-wrapped log_probs so the two dots stay distinct HLO and the
+    # lattice's live range never spans the LSTM residual production.
+    lp_b = jax.lax.optimization_barrier(log_probs)
+    if Tp != T:
+        lp_b = jnp.pad(lp_b, ((0, Tp - T), (0, 0), (0, 0)))
+    lp_ext = jax.lax.dot_general(
+        jnp.transpose(lp_b, (1, 0, 2)), onehot,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                                     # (B, Tp, S)
 
     # Terminal beta at each row's last valid frame.
     s_idx = jnp.arange(S)[None, :]

@@ -143,7 +143,7 @@ def _dropout_site(rng, out, keeps, use_pallas):
 
 def _lstm_stack_wavefront(
     layers, x, seq_lengths, states, *, compute_dtype, dropout_rng,
-    input_keep_prob, output_keep_prob,
+    input_keep_prob, output_keep_prob, head=None,
 ):
     """Whole-stack diagonal kernel (ops/lstm_wavefront.py).
 
@@ -217,8 +217,18 @@ def _lstm_stack_wavefront(
             drop_seed=drop_seed, drop_keep=drop_keep,
             compute_dtype=compute_dtype,
         )
+    if head is not None and rng is not None and output_keep_prob < 1.0:
+        # Fused site + head under remat: the head's VJP recomputes the
+        # DROPPED copy from the undropped residual + this rng (the site
+        # regenerates its mask bits from the seed deterministically), so
+        # the dropped (T, B, H) stream is never carried to the backward.
+        def _site_head(o, key):
+            _, dropped = _dropout_site(key, o, [output_keep_prob], True)
+            return head(dropped)
+
+        return jax.checkpoint(_site_head)(out, rng), new_states
     rng, out = _dropout_site(rng, out, [output_keep_prob], True)
-    return out, new_states
+    return (head(out) if head is not None else out), new_states
 
 
 def lstm_stack(
@@ -236,8 +246,18 @@ def lstm_stack(
     time_chunk: int = 0,
     residual_mode: str = "gates",
     wavefront: bool = False,
+    head=None,
 ) -> Tuple[jnp.ndarray, List[LayerState]]:
     """Run the full stack. Returns (outputs (T, B, H), new per-layer states).
+
+    ``head`` (optional callable) is applied to the final (post-dropout)
+    output before returning — the output projection, when the caller
+    wants it fused with the top dropout site.  On the wavefront train
+    path the site + head run under ``jax.checkpoint`` so the DROPPED
+    (T, B, H) copy is never a backward residual (the head's VJP rebuilds
+    it from the undropped stream + the site's PRNG seed) — at B=96
+    flagship shapes that copy is 658 MB of the HBM peak.  Other paths
+    apply ``head`` plainly; semantics are identical everywhere.
 
     Dropout mirrors the reference's DropoutWrapper composition: each cell
     drops its input (input_keep_prob) and its output (output_keep_prob),
@@ -260,7 +280,7 @@ def lstm_stack(
     """
     T = x.shape[0]
     if time_chunk and T > time_chunk:
-        return _lstm_stack_chunked(
+        out, new_states = _lstm_stack_chunked(
             layers, x, seq_lengths, states,
             compute_dtype=compute_dtype, dropout_rng=dropout_rng,
             input_keep_prob=input_keep_prob,
@@ -268,6 +288,7 @@ def lstm_stack(
             use_pallas=use_pallas, time_chunk=time_chunk,
             residual_mode=residual_mode, wavefront=wavefront,
         )
+        return (head(out) if head is not None else out), new_states
     if (
         wavefront and use_pallas and len(layers) >= 2
         and residual_mode == "gates" and not remat
@@ -277,6 +298,7 @@ def lstm_stack(
             compute_dtype=compute_dtype, dropout_rng=dropout_rng,
             input_keep_prob=input_keep_prob,
             output_keep_prob=output_keep_prob,
+            head=head,
         )
     out = x
     # Recompute-residual training in a low-precision compute dtype keeps
@@ -321,7 +343,7 @@ def lstm_stack(
         new_states.append(state)
 
     rng, out = _dropout_site(rng, out, [output_keep_prob], use_pallas)
-    return out, new_states
+    return (head(out) if head is not None else out), new_states
 
 
 def _lstm_stack_chunked(

@@ -431,7 +431,7 @@ def _wavefront_train(x, w_x0, w_h, w_x_rest, b_all, drop_mode, drop_arr,
 
 
 def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
-                          *refs):
+                          fuse_dwx, *refs):
     """Reverse diagonal: grid step ``s`` computes, for every layer ``l``
     with ``0 <= s - (L-1-l) < T``, that layer's reverse-time step at
     ``t = T-1 - (s - (L-1-l))`` — the backward mirror of the forward
@@ -441,17 +441,23 @@ def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
     over in VMEM scratch (never materialized in HBM) with the inter-layer
     dropout mask applied at the read site (explicit block or PRNG regen).
 
-    When dropout is on, each boundary also EMITS its dropped-input stream
-    ``x_drop_b(t) = mask_b(t)·scale·out_b(t)`` — the operand the outside
-    weight-gradient contraction dW_x = x_dropT·dgates needs — rebuilt
-    from the (unaliased) outs residual at the same block index, so the
-    mask stream itself never exists in HBM.
+    ``fuse_dwx`` (drop modes 0/2, L > 1): the boundary weight-gradient
+    contractions ``dW_x_{l} = Σ_t x_drop_{l-1}(t)ᵀ·dgates_l(t)`` run
+    IN-KERNEL against a VMEM-resident f32 accumulator: each boundary's
+    outs residual is read once at the CONSUMER layer's diagonal, the
+    dropout factor regenerates from the seed, and neither the dropped
+    input nor any mask stream ever exists in HBM (at B=96 flagship shapes
+    the two emitted xdrop streams alone were 1.3 GB — the allocations
+    standing between whole-sequence B=96 gates training and HBM).
+    Explicit-mask mode (1, the parity-testable form) still emits
+    ``x_drop_b(t) = mask_b(t)·scale·out_b(t)`` for the outside
+    contraction.
 
     refs layout: dout_top, w_h, w_x_rest, [seed | drop_0..drop_{n-1}],
     mask_0..mask_{L-1}, gates_0..gates_{L-1}, cseq_0..cseq_{L-1},
-    cprev_0..cprev_{L-1}, [outs_0..outs_{L-2} when dropping], c0, dhn,
-    dcn, dgates_0..dgates_{L-1}, [xdrop_0..xdrop_{L-2} when dropping],
-    dh0, dc0, dh_s, dc_s, dx_s."""
+    cprev_0..cprev_{L-1}, [outs_0..outs_{L-2} when mode 1 or fused], c0,
+    dhn, dcn, dgates_0..dgates_{L-1}, [xdrop_0..xdrop_{L-2} mode 1 |
+    dwx when fused], dh0, dc0, dh_s, dc_s, dx_s."""
     L = n_layers
     dout_ref, wh_ref, wx_ref = refs[:3]
     pos = 3
@@ -472,7 +478,7 @@ def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
     cprev_refs = refs[pos : pos + L]
     pos += L
     outs_refs = ()
-    if drop_mode:
+    if drop_mode == 1 or fuse_dwx:
         outs_refs = refs[pos : pos + L - 1]
         pos += L - 1
     c0_ref, dhn_ref, dcn_ref = refs[pos : pos + 3]
@@ -480,12 +486,21 @@ def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
     dgates_refs = refs[pos : pos + L]
     pos += L
     xdrop_refs = ()
-    if drop_mode:
+    dwx_ref = None
+    if fuse_dwx:
+        dwx_ref = refs[pos]
+        pos += 1
+    elif drop_mode == 1:
         xdrop_refs = refs[pos : pos + L - 1]
         pos += L - 1
     dh0_ref, dc0_ref, dh_s, dc_s, dx_s = refs[pos : pos + 5]
 
     s = pl.program_id(0)
+
+    if fuse_dwx:
+        @pl.when(s == 0)
+        def _():
+            dwx_ref[...] = jnp.zeros_like(dwx_ref)
 
     # Ascending layer order: layer l reads the layer above's dx from the
     # PREVIOUS diagonal before layer l+1 overwrites it on this one.
@@ -505,18 +520,19 @@ def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
                     keep_scale = (
                         drop_refs[l][0].astype(jnp.float32) * drop_scale
                     )
+                    # Emit this boundary's dropped-input stream for the
+                    # outside dW_x contraction (reads the UNALIASED outs
+                    # residual; the forward's operand was the f32
+                    # pre-cast value — same values to residual-dtype
+                    # rounding).
+                    xdrop_refs[l][0] = (
+                        outs_refs[l][0].astype(jnp.float32) * keep_scale
+                    ).astype(xdrop_refs[l].dtype)
                 else:
                     keep_scale = _keep_bits(
                         seed_ref, T, l, t_l,
                         (dh_s.shape[-2], dh_s.shape[-1]), keep_prob
                     ) * drop_scale
-                # Emit this boundary's dropped-input stream for the
-                # outside dW_x contraction (reads the UNALIASED outs
-                # residual; the forward's operand was the f32 pre-cast
-                # value — same values to residual-dtype rounding).
-                xdrop_refs[l][0] = (
-                    outs_refs[l][0].astype(jnp.float32) * keep_scale
-                ).astype(xdrop_refs[l].dtype)
 
             if l == L - 1:
                 dout = dout_ref[0].astype(jnp.float32)
@@ -554,6 +570,24 @@ def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
             )
             dgates_refs[l][0] = dgates.astype(dgates_refs[l].dtype)
 
+            if fuse_dwx and l > 0:
+                # Boundary l-1's outs block rides THIS layer's diagonal
+                # (consumer side): rebuild the dropped input and fold it
+                # into the resident dW_x accumulator while dgates is
+                # still in VMEM.  Masked (t >= seq_len) rows contribute
+                # zero because dgates is zero there.
+                x_in = outs_refs[l - 1][0].astype(jnp.float32)
+                if drop_mode == 2:
+                    keep_in = _keep_bits(
+                        seed_ref, T, l - 1, t_l, x_in.shape, keep_prob
+                    )
+                    x_in = x_in * (keep_in * drop_scale)
+                dwx_ref[l - 1] = dwx_ref[l - 1] + jax.lax.dot_general(
+                    x_in.astype(wx_ref.dtype), dgates.astype(wx_ref.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
             dh_prev = jax.lax.dot_general(
                 dgates.astype(wh_ref.dtype), wh_ref[l],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -580,17 +614,21 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_mode, drop_arr,
     """Whole-stack reverse diagonal.  ``gates``/``cseqs``/``layer_outs``
     are the forward wavefront's per-layer residual streams; returns
     (dgates per layer (T, B, 4H) residual-dtype, xdrops (L-1 dropped
-    boundary-input streams when dropout is on, else ()), dh0 (L, B, H),
-    dc0 (L, B, H))."""
+    boundary-input streams in explicit-mask mode, else ()), dwx
+    ((L-1, H, 4H) f32 fused boundary weight grads in modes 0/2, else
+    None), dh0 (L, B, H), dc0 (L, B, H))."""
     T, B, four_h = gates[0].shape
     H = four_h // 4
     L = w_h.shape[0]
-    n_x = L - 1 if drop_mode else 0
+    fuse_dwx = drop_mode != 1 and L > 1
+    n_x = L - 1 if drop_mode == 1 else 0
+    n_outs = L - 1 if (drop_mode == 1 or fuse_dwx) else 0
 
     revoff = lambda s, off: (jnp.clip(T - 1 - (s - off), 0, T - 1), 0, 0)
     prevoff = lambda s, off: (jnp.clip(T - 2 - (s - off), 0, T - 1), 0, 0)
     kernel = functools.partial(
-        _wavefront_bwd_kernel, L, T, drop_mode, drop_scale, keep_prob
+        _wavefront_bwd_kernel, L, T, drop_mode, drop_scale, keep_prob,
+        fuse_dwx,
     )
     in_specs = [
         # The TOP layer leads the reverse diagonal (off = 0); lower
@@ -631,9 +669,17 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_mode, drop_arr,
                      memory_space=pltpu.VMEM)
         for l in range(L)
     ] + [
-        pl.BlockSpec((1, B, H), functools.partial(revoff, off=L - 1 - l),
-                     memory_space=pltpu.VMEM)
-        for l in range(n_x)
+        # Boundary-b outs: consumed at the PRODUCER layer's diagonal in
+        # explicit-mask mode (xdrop emission) but at the CONSUMER layer
+        # b+1's diagonal when the dW_x contraction is fused (the block
+        # must be co-resident with that layer's dgates).
+        pl.BlockSpec(
+            (1, B, H),
+            functools.partial(revoff,
+                              off=(L - 2 - b) if fuse_dwx else (L - 1 - b)),
+            memory_space=pltpu.VMEM,
+        )
+        for b in range(n_outs)
     ] + [
         pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -651,7 +697,10 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_mode, drop_arr,
         pl.BlockSpec((1, B, H), functools.partial(revoff, off=L - 1 - l),
                      memory_space=pltpu.VMEM)
         for l in range(n_x)
-    ] + [
+    ] + ([
+        pl.BlockSpec((L - 1, H, four_h), lambda s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] if fuse_dwx else []) + [
         pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((L, B, H), lambda s: (0, 0, 0),
@@ -660,6 +709,8 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_mode, drop_arr,
     out_shape = (
         [jax.ShapeDtypeStruct((T, B, four_h), rd) for _ in range(L)]
         + [jax.ShapeDtypeStruct((T, B, H), rd) for _ in range(n_x)]
+        + ([jax.ShapeDtypeStruct((L - 1, H, four_h), jnp.float32)]
+           if fuse_dwx else [])
         + [jax.ShapeDtypeStruct((L, B, H), jnp.float32),
            jax.ShapeDtypeStruct((L, B, H), jnp.float32)]
     )
@@ -688,7 +739,8 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_mode, drop_arr,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * H * four_h * (2 * L - 1),
+            flops=2 * T * B * H * four_h
+            * (2 * L - 1 + (L - 1 if fuse_dwx else 0)),
             bytes_accessed=T * B * (
                 four_h * 2 * rd.itemsize + H * (4 + 4 * rd.itemsize)
             ) + (2 * L - 1) * H * four_h * w_h.dtype.itemsize,
@@ -696,11 +748,16 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_mode, drop_arr,
         ),
         interpret=interpret,
     )(dout_top, w_h, w_x_rest, *drop_args, *([mask] * L), *gates,
-      *cseqs, *cseqs, *(layer_outs[: L - 1] if drop_mode else []),
+      *cseqs, *cseqs, *(layer_outs[: L - 1] if n_outs else []),
       c0, dhn, dcn)
     dgates = outs[:L]
     xdrops = outs[L : L + n_x]
-    return dgates, xdrops, outs[L + n_x], outs[L + n_x + 1]
+    pos = L + n_x
+    dwx = None
+    if fuse_dwx:
+        dwx = outs[pos]
+        pos += 1
+    return dgates, xdrops, dwx, outs[pos], outs[pos + 1]
 
 
 @functools.partial(jax.custom_vjp,
@@ -741,6 +798,26 @@ def _wavefront_stack_fwd(w_x0, w_x_rest, w_h, b0, b_rest, x, mask,
     return (layer_outs[-1], cn, hn), residuals
 
 
+def _hgrad_only(h_prev_seq, dgates, cd):
+    """(dw_h, db) when dW_x came fused out of the reverse kernel: the
+    single-operand Pallas pass by default (streams dgates once), the
+    two-einsum XLA form behind ``RST_FUSED_WGRAD=0`` — mirroring
+    lstm_pallas._weight_grads' dispatch."""
+    import os
+
+    if os.environ.get("RST_FUSED_WGRAD", "1") != "0":
+        from rnn_speech_tpu.ops.grad_matmul_pallas import weight_grad
+
+        return weight_grad(h_prev_seq, dgates, compute_dtype=cd)
+    dg_c = dgates.astype(cd)
+    dw_h = jnp.einsum(
+        "tbh,tbg->hg", h_prev_seq.astype(cd), dg_c,
+        preferred_element_type=jnp.float32,
+    )
+    db = jnp.sum(dgates, axis=(0, 1), dtype=jnp.float32)
+    return dw_h, db
+
+
 def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
                          drop_mode, keep_prob, residuals, cotangents):
     from rnn_speech_tpu.ops.lstm_pallas import (
@@ -752,12 +829,15 @@ def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
     dout_top, dcn, dhn = cotangents
     L = w_h.shape[0]
 
+    dwx_fused = None
     if bwd_wavefront:
         # Fused reverse diagonal: one kernel, T+L-1 steps, inter-layer
         # cotangents handed over in VMEM (vs L sequential T-step reverse
-        # kernels with (T, B, H) dout temps between them); the dropped
-        # boundary inputs for dW_x are emitted by the same kernel.
-        dgates_all, xdrops, dh0, dc0 = _wavefront_bwd(
+        # kernels with (T, B, H) dout temps between them).  In modes 0/2
+        # the boundary dW_x contractions also run in-kernel against a
+        # resident f32 accumulator (no xdrop/mask streams in HBM);
+        # explicit-mask mode emits the dropped inputs instead.
+        dgates_all, xdrops, dwx_fused, dh0, dc0 = _wavefront_bwd(
             dout_top, w_h.astype(cd), w_x_rest.astype(cd),
             drop_mode, drop_arr, drop_scale, keep_prob, mask,
             list(gates), list(cseqs), list(layer_outs),
@@ -802,18 +882,35 @@ def _wavefront_stack_bwd(cd, rd, interpret, drop_scale, bwd_wavefront,
     dw_h_list, db_list, dwx_rest_list = [], [], []
     dw_x0 = db0 = None
     for l in range(L):
+        # Tie the h_prev shift-copy to this layer's dgates: its only
+        # data dependency is the forward outs residual, so the scheduler
+        # otherwise hoists the (T, B, H) concat copies to BEFORE the CTC
+        # backward, where they sit next to the f32 lattice + posterior
+        # stream at the program's HBM peak (measured: the hoisted copies
+        # were the last ~330 MB keeping whole-sequence B=96 gates
+        # training from fitting).
+        outs_dep, dgates_dep = jax.lax.optimization_barrier(
+            (layer_outs[l], dgates_all[l])
+        )
+        dgates_all[l] = dgates_dep
         h_prev = jnp.concatenate(
-            [h0[l].astype(layer_outs[l].dtype)[None], layer_outs[l][:-1]],
+            [h0[l].astype(outs_dep.dtype)[None], outs_dep[:-1]],
             axis=0,
         )
-        if l == 0:
-            x_l = x_c
-        elif drop_mode:
-            x_l = xdrops[l - 1]
+        if l > 0 and dwx_fused is not None:
+            # The boundary dW_x already accumulated inside the reverse
+            # kernel; one streamed pass over dgates gives dW_h + db.
+            dw_h_l, db_l = _hgrad_only(h_prev, dgates_all[l], cd)
+            dw_x_l = dwx_fused[l - 1]
         else:
-            x_l = layer_outs[l - 1]
-        dw_h_l, dw_x_l, db_l = _weight_grads(h_prev, x_l,
-                                             dgates_all[l], cd)
+            if l == 0:
+                x_l = x_c
+            elif drop_mode:
+                x_l = xdrops[l - 1]
+            else:
+                x_l = layer_outs[l - 1]
+            dw_h_l, dw_x_l, db_l = _weight_grads(h_prev, x_l,
+                                                 dgates_all[l], cd)
         if l == 0:
             dw_x0 = dw_x_l.astype(w_x0.dtype)
             db0 = db_l

@@ -211,3 +211,52 @@ def test_wavefront_two_layers():
     for (c, h), (rc, rh) in zip(new_states, ref_states):
         np.testing.assert_allclose(np.asarray(c), np.asarray(rc),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_seed_mode_vjp_matches_directional_fd():
+    """Seed-mode dropout (in-kernel PRNG regeneration, fused boundary
+    dW_x accumulation) has no explicit-mask twin to compare against —
+    the bits live only inside the kernels.  But given a fixed seed the
+    whole train path is a deterministic differentiable function, so the
+    custom VJP must match a central finite difference along a random
+    direction.  f32 residuals for exactness; covers the fused
+    dW_x-in-kernel path (drop_mode=2) end to end."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rnn_speech_tpu.ops.lstm_wavefront import lstm_stack_wavefront_train
+
+    T, B, D, H, L = 8, 4, 6, 8, 3
+    layers = lstm.init_lstm_stack(jax.random.PRNGKey(0), L, D, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, B, D), jnp.float32)
+    states = lstm.zero_state(L, B, H)
+    lengths = jnp.asarray([8, 5, 8, 2], jnp.int32)
+    seed = jnp.asarray([123, -456], jnp.int32)
+    cot = jax.random.normal(jax.random.PRNGKey(3), (T, B, H))
+
+    def f(layers):
+        out, _ = lstm_stack_wavefront_train(
+            layers, x, lengths, states, drop_seed=seed, drop_keep=0.75,
+            residual_dtype=jnp.float32,
+        )
+        return jnp.sum(out * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        val, grads = jax.value_and_grad(f)(layers)
+        assert np.isfinite(float(val))
+        v = [
+            {k: jax.random.normal(jax.random.PRNGKey(hash(k) % 1000 + i),
+                                  p[k].shape)
+             for k in p}
+            for i, p in enumerate(layers)
+        ]
+        eps = 1e-3
+        shift = lambda s: [
+            {k: p[k] + s * v[i][k] for k in p}
+            for i, p in enumerate(layers)
+        ]
+        fd = (f(shift(eps)) - f(shift(-eps))) / (2 * eps)
+    analytic = sum(
+        float(jnp.vdot(grads[i][k], v[i][k]))
+        for i in range(L) for k in layers[0]
+    )
+    np.testing.assert_allclose(analytic, float(fd), rtol=5e-3, atol=5e-3)

@@ -233,24 +233,24 @@ def training_residual_bytes(
 
     ``"gates"`` stores per layer/step the activated gates (4H, residual
     dtype) and the carried cell (H, residual dtype).  Under the wavefront
-    schedule the layer-output streams are also residual-dtype and the
-    backward's dgates alias onto the gates residuals
-    (ops/lstm_wavefront.py) — per layer/step that is 6H residual-dtype
-    bytes plus one residual-dtype dropped-boundary-input stream per
-    inter-layer boundary emitted by the backward.  The LAYERED path keeps
-    f32 layer outputs/inputs in the surrounding autodiff (2 * 4H bytes
-    extra).  ``"recompute"`` stores only residual-dtype copies of the
-    cell sequence, layer output and layer input (3H bytes at bf16) —
-    gates are rebuilt inside the backward kernel."""
+    schedule the layer-output streams are also residual-dtype, the
+    backward's dgates alias onto the gates residuals, the boundary dW_x
+    contractions accumulate in-kernel and the top dropout site + output
+    projection rematerialize together (ops/lstm_wavefront.py,
+    lstm.lstm_stack) — per layer/step exactly 6H residual-dtype bytes,
+    verified on-chip: B=96 (11.6 GiB by this estimate) compiles and runs
+    whole-sequence.  The LAYERED path keeps f32 layer outputs/inputs in
+    the surrounding autodiff (2 * 4H bytes extra).  ``"recompute"``
+    stores only residual-dtype copies of the cell sequence, layer output
+    and layer input (3H bytes at bf16) — gates are rebuilt inside the
+    backward kernel."""
     H = cfg.hidden_size
     L = cfg.num_layers
     rb = 2 if jnp.dtype(cfg.compute_dtype) == jnp.bfloat16 else 4
     if residual_mode == "recompute":
         per_step_layer = B * 3 * H * rb
     elif getattr(cfg, "wavefront", False) and cfg.use_pallas:
-        # 6H residuals/layer + the backward's (L-1) xdrop emissions,
-        # amortized per layer-step.
-        per_step_layer = B * H * rb * (6 + (L - 1) / max(L, 1))
+        per_step_layer = B * H * rb * 6
     else:
         per_step_layer = B * (4 * H * rb + H * rb + 8 * H)
     return int(L * T * per_step_layer)
@@ -265,15 +265,16 @@ def training_memory_plan(
     """(time_chunk, residual_mode) for training at these shapes.
 
     Preference order, measured on a v5e at 3x1024 / T=3510:
-      1. whole-sequence, gates residuals — fastest backward (B=64:
-         316 ms/step, 202 utt/s, the flagship number)
+      1. whole-sequence, gates residuals — fastest backward (round 5:
+         B=64 264 ms/step 242 utt/s; B=96 fits whole-sequence under the
+         wavefront memory contract at 399 ms / 241 utt/s)
       2. whole-sequence, recompute residuals — gates rebuilt in the
          backward kernel (two extra VMEM-resident matmuls per step, bf16
-         inter-layer activations): slower per row (B=64: 379 ms) but fits
-         batches the gates residuals cannot, and beats chunked remat
-         there (B=96: 173 utt/s vs chunk-1024's 138)
+         inter-layer activations): slower per row but fits batches the
+         gates residuals cannot, and beats chunked remat there
       3. chunked remat with gates residuals (double forward; last resort
-         — B=128 whole-sequence fails to compile in either residual mode)
+         — B=128 whole-sequence gates residuals alone are ~15.4 GiB,
+         the full HBM)
     """
     if training_residual_bytes(cfg, _stacked_T(cfg, T), B) <= budget_bytes:
         return 0, "gates"

@@ -261,15 +261,21 @@ def _bench_train_once() -> dict:
         state, metrics = train_fn(scfg, state, batch, key, no_reset)
     jax.block_until_ready(metrics)
     ITER = 5
-    t0 = time.perf_counter()
-    for _ in range(ITER):
-        state, metrics = train_fn(scfg, state, batch, key, no_reset)
-    jax.block_until_ready(metrics)
-    np.asarray(metrics["mean_loss"])    # tunnel-safe completion proof
-    dt = time.perf_counter() - t0
+
+    def run_once():
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(ITER):
+            state, m = train_fn(scfg, state, batch, key, no_reset)
+        jax.block_until_ready(m)
+        np.asarray(m["mean_loss"])      # tunnel-safe completion proof
+        return B * ITER / (time.perf_counter() - t0)
+
+    med, spread, _vals = _measure_reps(run_once)
     out = {
-        "train_utt_per_sec": round(B * ITER / dt, 3),
-        "train_ms_per_step": round(1e3 * dt / ITER, 1),
+        "train_utt_per_sec": round(med, 3),
+        "train_ms_per_step": round(1e3 * B / med, 1),
+        "train_spread_pct": spread,
         "train_batch": B,
         "train_time_chunk": chunk,
         "train_residual_mode": res_mode,

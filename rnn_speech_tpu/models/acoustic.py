@@ -21,6 +21,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rnn_speech_tpu.ops import lstm
 
@@ -149,6 +150,48 @@ def _dense_bwd(cd, residuals, g):
 _dense.defvjp(_dense_fwd, _dense_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _dropped_dense(keep, cd, key, h, w, b):
+    """drop(h)·W + b as ONE custom-VJP op: the top dropout site fused
+    with the output projection.  The backward REBUILDS the dropped copy
+    from the undropped residual + the site's PRNG key (the site's mask
+    bits are a pure function of the key) instead of carrying it — the
+    dropped (T, B, H) stream is 658 MB of the B=96 flagship HBM peak.
+    Dropout is a diagonal linear map, so dh = the same mask·scale
+    applied to the projection's input cotangent."""
+    from rnn_speech_tpu.ops import lstm
+
+    _, dropped = lstm._dropout_site(key, h, [keep], True)
+    return (
+        jnp.dot(dropped.astype(cd), w.astype(cd),
+                preferred_element_type=jnp.float32) + b
+    )
+
+
+def _dropped_dense_fwd(keep, cd, key, h, w, b):
+    out = _dropped_dense(keep, cd, key, h, w, b)
+    return out, (key, h, w, jnp.zeros((0,), b.dtype))
+
+
+def _dropped_dense_bwd(keep, cd, residuals, g):
+    from rnn_speech_tpu.ops import lstm
+    from rnn_speech_tpu.ops.grad_matmul_pallas import weight_grad
+
+    key, h, w, b_token = residuals
+    _, dropped = lstm._dropout_site(key, h, [keep], True)   # rebuild
+    dy = jnp.dot(
+        g.astype(cd), w.astype(cd).T, preferred_element_type=jnp.float32
+    )
+    _, dh = lstm._dropout_site(key, dy, [keep], True)       # mask·scale⊙dy
+    dw, db = weight_grad(dropped, g, compute_dtype=cd)
+    dkey = np.zeros(key.shape, jax.dtypes.float0)
+    return dkey, dh.astype(h.dtype), dw.astype(w.dtype), \
+        db.astype(b_token.dtype)
+
+
+_dropped_dense.defvjp(_dropped_dense_fwd, _dropped_dense_bwd)
+
+
 def forward(
     params: Params,
     cfg: AcousticConfig,
@@ -177,12 +220,17 @@ def forward(
     if cfg.normalization:
         x = _batch_norm(x)
 
-    # Hand the output projection to the stack as its fused head: on the
-    # wavefront train path the top dropout site + projection rematerialize
-    # together, so the dropped (T, B, H) copy is not a backward residual
-    # (658 MB of the B=96 flagship HBM peak — see lstm.lstm_stack).
+    # Hand the output projection to the stack as its head: on the
+    # wavefront train path the fused form owns the top dropout site too
+    # (_dropped_dense), so the dropped (T, B, H) copy is not a backward
+    # residual (658 MB of the B=96 flagship HBM peak).
     head = (lambda h: dense(h, params["output"]["w"],
                             params["output"]["b"], cd))
+    head_fused = None
+    if cfg.use_pallas:
+        head_fused = (lambda key, h: _dropped_dense(
+            float(output_keep_prob), cd, key, h,
+            params["output"]["w"], params["output"]["b"]))
     logits, new_states = lstm.lstm_stack(
         params["lstm"], x, seq_lengths, states,
         compute_dtype=cd,
@@ -195,6 +243,7 @@ def forward(
         residual_mode=cfg.residual_mode,
         wavefront=cfg.wavefront,
         head=head,
+        head_fused=head_fused,
     )
     return logits, new_states
 

@@ -143,7 +143,7 @@ def _dropout_site(rng, out, keeps, use_pallas):
 
 def _lstm_stack_wavefront(
     layers, x, seq_lengths, states, *, compute_dtype, dropout_rng,
-    input_keep_prob, output_keep_prob, head=None,
+    input_keep_prob, output_keep_prob, head=None, head_fused=None,
 ):
     """Whole-stack diagonal kernel (ops/lstm_wavefront.py).
 
@@ -217,16 +217,15 @@ def _lstm_stack_wavefront(
             drop_seed=drop_seed, drop_keep=drop_keep,
             compute_dtype=compute_dtype,
         )
-    if head is not None and rng is not None and output_keep_prob < 1.0:
-        # Fused site + head under remat: the head's VJP recomputes the
-        # DROPPED copy from the undropped residual + this rng (the site
-        # regenerates its mask bits from the seed deterministically), so
+    if head_fused is not None and rng is not None and \
+            output_keep_prob < 1.0:
+        # Fused site + head: head_fused(key, out) applies the top
+        # dropout site AND the projection under ONE custom VJP whose
+        # backward rebuilds the dropped copy from the undropped residual
+        # + the site's PRNG key (models/acoustic.py::_dropped_dense), so
         # the dropped (T, B, H) stream is never carried to the backward.
-        def _site_head(o, key):
-            _, dropped = _dropout_site(key, o, [output_keep_prob], True)
-            return head(dropped)
-
-        return jax.checkpoint(_site_head)(out, rng), new_states
+        rng, sub = jax.random.split(rng)
+        return head_fused(sub, out), new_states
     rng, out = _dropout_site(rng, out, [output_keep_prob], True)
     return (head(out) if head is not None else out), new_states
 
@@ -247,17 +246,20 @@ def lstm_stack(
     residual_mode: str = "gates",
     wavefront: bool = False,
     head=None,
+    head_fused=None,
 ) -> Tuple[jnp.ndarray, List[LayerState]]:
     """Run the full stack. Returns (outputs (T, B, H), new per-layer states).
 
     ``head`` (optional callable) is applied to the final (post-dropout)
-    output before returning — the output projection, when the caller
-    wants it fused with the top dropout site.  On the wavefront train
-    path the site + head run under ``jax.checkpoint`` so the DROPPED
-    (T, B, H) copy is never a backward residual (the head's VJP rebuilds
-    it from the undropped stream + the site's PRNG seed) — at B=96
-    flagship shapes that copy is 658 MB of the HBM peak.  Other paths
-    apply ``head`` plainly; semantics are identical everywhere.
+    output before returning — the output projection.  ``head_fused``
+    (optional callable ``(key, out) -> logits``) additionally OWNS the
+    top dropout site: on the wavefront train path it replaces the
+    site + head pair with one custom-VJP op whose backward rebuilds the
+    dropped copy from the undropped residual + the site's PRNG key
+    (models/acoustic.py::_dropped_dense), so the dropped (T, B, H) copy
+    is never a backward residual — at B=96 flagship shapes that copy is
+    658 MB of the HBM peak.  Other paths apply ``head`` plainly;
+    semantics are identical everywhere.
 
     Dropout mirrors the reference's DropoutWrapper composition: each cell
     drops its input (input_keep_prob) and its output (output_keep_prob),
@@ -298,7 +300,7 @@ def lstm_stack(
             compute_dtype=compute_dtype, dropout_rng=dropout_rng,
             input_keep_prob=input_keep_prob,
             output_keep_prob=output_keep_prob,
-            head=head,
+            head=head, head_fused=head_fused,
         )
     out = x
     # Recompute-residual training in a low-precision compute dtype keeps

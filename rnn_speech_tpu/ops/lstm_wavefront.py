@@ -478,7 +478,7 @@ def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
     cprev_refs = refs[pos : pos + L]
     pos += L
     outs_refs = ()
-    if drop_mode == 1 or fuse_dwx:
+    if drop_mode or fuse_dwx:
         outs_refs = refs[pos : pos + L - 1]
         pos += L - 1
     c0_ref, dhn_ref, dcn_ref = refs[pos : pos + 3]
@@ -490,7 +490,7 @@ def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
     if fuse_dwx:
         dwx_ref = refs[pos]
         pos += 1
-    elif drop_mode == 1:
+    elif drop_mode:
         xdrop_refs = refs[pos : pos + L - 1]
         pos += L - 1
     dh0_ref, dc0_ref, dh_s, dc_s, dx_s = refs[pos : pos + 5]
@@ -520,6 +520,12 @@ def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
                     keep_scale = (
                         drop_refs[l][0].astype(jnp.float32) * drop_scale
                     )
+                else:
+                    keep_scale = _keep_bits(
+                        seed_ref, T, l, t_l,
+                        (dh_s.shape[-2], dh_s.shape[-1]), keep_prob
+                    ) * drop_scale
+                if not fuse_dwx:
                     # Emit this boundary's dropped-input stream for the
                     # outside dW_x contraction (reads the UNALIASED outs
                     # residual; the forward's operand was the f32
@@ -528,11 +534,6 @@ def _wavefront_bwd_kernel(n_layers, T, drop_mode, drop_scale, keep_prob,
                     xdrop_refs[l][0] = (
                         outs_refs[l][0].astype(jnp.float32) * keep_scale
                     ).astype(xdrop_refs[l].dtype)
-                else:
-                    keep_scale = _keep_bits(
-                        seed_ref, T, l, t_l,
-                        (dh_s.shape[-2], dh_s.shape[-1]), keep_prob
-                    ) * drop_scale
 
             if l == L - 1:
                 dout = dout_ref[0].astype(jnp.float32)
@@ -620,9 +621,23 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_mode, drop_arr,
     T, B, four_h = gates[0].shape
     H = four_h // 4
     L = w_h.shape[0]
-    fuse_dwx = drop_mode != 1 and L > 1
-    n_x = L - 1 if drop_mode == 1 else 0
-    n_outs = L - 1 if (drop_mode == 1 or fuse_dwx) else 0
+    # Fusing the boundary dW_x contractions in-kernel removes the xdrop
+    # streams from HBM (1.3 GB at B=96 — what fits whole-sequence B=96)
+    # but adds one serial matmul per boundary to the reverse diagonal's
+    # critical path (measured ~+15 ms at B=64, where HBM has ~5 GB of
+    # headroom).  Fuse only when the residual footprint is near HBM;
+    # RST_WAVEFRONT_FUSE_DWX=0/1 forces for A/B.
+    import os
+
+    rd_sz = gates[0].dtype.itemsize
+    forced_fuse = os.environ.get("RST_WAVEFRONT_FUSE_DWX", "")
+    if forced_fuse in ("0", "1"):
+        fuse_dwx = forced_fuse == "1" and drop_mode != 1 and L > 1
+    else:
+        big = L * T * B * 6 * H * rd_sz >= (10 << 30)
+        fuse_dwx = big and drop_mode != 1 and L > 1
+    n_x = L - 1 if (drop_mode and not fuse_dwx) else 0
+    n_outs = L - 1 if (drop_mode or fuse_dwx) else 0
 
     revoff = lambda s, off: (jnp.clip(T - 1 - (s - off), 0, T - 1), 0, 0)
     prevoff = lambda s, off: (jnp.clip(T - 2 - (s - off), 0, T - 1), 0, 0)
@@ -669,10 +684,10 @@ def _wavefront_bwd(dout_top, w_h, w_x_rest, drop_mode, drop_arr,
                      memory_space=pltpu.VMEM)
         for l in range(L)
     ] + [
-        # Boundary-b outs: consumed at the PRODUCER layer's diagonal in
-        # explicit-mask mode (xdrop emission) but at the CONSUMER layer
-        # b+1's diagonal when the dW_x contraction is fused (the block
-        # must be co-resident with that layer's dgates).
+        # Boundary-b outs: consumed at the PRODUCER layer's diagonal
+        # when emitting xdrops, but at the CONSUMER layer b+1's diagonal
+        # when the dW_x contraction is fused (the block must be
+        # co-resident with that layer's dgates).
         pl.BlockSpec(
             (1, B, H),
             functools.partial(revoff,

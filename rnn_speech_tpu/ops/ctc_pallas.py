@@ -97,31 +97,34 @@ def _vmem_limit(K: int, B: int, S: int) -> int:
     return min((100 << 20), 8 * K * B * s_pad * 4 + (8 << 20))
 
 
-def _alpha_kernel(K, lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
+def _alpha_kernel(K, lp_ref, live_ref, skip_ref, alpha_in_ref, first_ref,
+                  alphas_ref, last_ref, a_s):
+    """The call may cover a time CHUNK (_ctc_fwd_impl's chunked scan):
+    ``alpha_in`` carries the recursion state in from the previous chunk
+    and the scalar ``first`` flag selects the t=0 seeding only for the
+    chunk that contains t=0.  ``last`` carries the state out."""
     i = pl.program_id(0)
     NI = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        a_s[:] = alpha_in_ref[...]
 
     for k in range(K):
         lp = lp_ref[:, k].astype(jnp.float32)             # (B, S)
 
-        def _update(lp=lp, k=k):
-            alpha = a_s[:]
-            a1 = _shift_right_lanes(alpha, 1)
-            a2 = jnp.where(skip_ref[:] > 0,
-                           _shift_right_lanes(alpha, 2), NEG_INF)
-            new = _log_add3(alpha, a1, a2) + lp
-            live = live_ref[k, 0][:, None]                # (B, 1) float
-            a_s[:] = jnp.where(live > 0, new, alpha)      # freeze past T_b
-
+        alpha = a_s[:]
+        a1 = _shift_right_lanes(alpha, 1)
+        a2 = jnp.where(skip_ref[:] > 0,
+                       _shift_right_lanes(alpha, 2), NEG_INF)
+        new = _log_add3(alpha, a1, a2) + lp
+        live = live_ref[k, 0][:, None]                    # (B, 1) float
+        upd = jnp.where(live > 0, new, alpha)             # freeze past T_b
         if k == 0:
-            @pl.when(i == 0)
-            def _(lp=lp):
-                s_idx = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
-                a_s[:] = jnp.where(s_idx < 2, lp, NEG_INF)
-
-            pl.when(i > 0)(_update)
-        else:
-            _update()
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
+            seeded = jnp.where(s_idx < 2, lp, NEG_INF)
+            upd = jnp.where((i == 0) & (first_ref[0] > 0), seeded, upd)
+        a_s[:] = upd
 
         if alphas_ref is not None:
             alphas_ref[:, k] = a_s[:].astype(alphas_ref.dtype)
@@ -131,25 +134,27 @@ def _alpha_kernel(K, lp_ref, live_ref, skip_ref, alphas_ref, last_ref, a_s):
         last_ref[:] = a_s[:]
 
 
-def _alpha_kernel_lossonly(K, lp_ref, live_ref, skip_ref, last_ref, a_s):
+def _alpha_kernel_lossonly(K, lp_ref, live_ref, skip_ref, alpha_in_ref,
+                           first_ref, last_ref, a_s):
     """Alpha recursion emitting only the terminal row (no residual stream)."""
-    _alpha_kernel(K, lp_ref, live_ref, skip_ref, None, last_ref, a_s)
+    _alpha_kernel(K, lp_ref, live_ref, skip_ref, alpha_in_ref, first_ref,
+                  None, last_ref, a_s)
 
 
-def _alpha_kernel_ckpt(K, lp_ref, live_ref, skip_ref, ckpt_ref, last_ref,
-                       a_s):
+def _alpha_kernel_ckpt(K, lp_ref, live_ref, skip_ref, alpha_in_ref,
+                       first_ref, ckpt_ref, last_ref, a_s):
     """Alpha recursion emitting one (B, S) CHECKPOINT per K-step block —
     the state AFTER the block — instead of the full (T, B, S) stream.
     The backward's fused kernel rebuilds each block's alpha rows from its
     predecessor's checkpoint in VMEM (``_beta_post_ckpt_kernel``), so the
-    f32 alpha stream (1.6 GB at B=96 flagship shapes, the allocation that
-    kept B=96 whole-sequence training from fitting HBM) never exists."""
-    _alpha_kernel(K, lp_ref, live_ref, skip_ref, None, last_ref, a_s)
+    f32 alpha stream (1.6 GB at B=96 flagship shapes) never exists."""
+    _alpha_kernel(K, lp_ref, live_ref, skip_ref, alpha_in_ref, first_ref,
+                  None, last_ref, a_s)
     ckpt_ref[0] = a_s[:]
 
 
 def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True,
-                   stream_dtype=jnp.float32):
+                   stream_dtype=jnp.float32, alpha_in=None, first=None):
     """lp_ext (B, T, S) — batch-major so the one-hot lattice dot lands in
     its NATURAL dot_general output layout (batch, lhs_rest, rhs_rest); the
     time-major form forced XLA to materialize a layout-transposition copy
@@ -166,11 +171,18 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True,
     B, T, S = lp_ext.shape
     K = _time_block(B, S)
     assert T % K == 0, (T, K)
+    if alpha_in is None:
+        alpha_in = jnp.full((B, S), NEG_INF, jnp.float32)
+    if first is None:
+        first = jnp.ones((1,), jnp.int32)
     in_specs = [
         pl.BlockSpec((B, K, S), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
+    args = (lp_ext, live, skip_ok, alpha_in, first)
     cost = pl.CostEstimate(
         flops=10 * T * B * S,
         bytes_accessed=2 * T * B * S * 4,
@@ -197,7 +209,7 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True,
             scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
             compiler_params=compiler_params,
             cost_estimate=cost,
-        )(lp_ext, live, skip_ok)
+        )(*args)
         return ckpt, last
     if not emit_alphas:
         (last,) = pallas_vma.pallas_call(
@@ -211,7 +223,7 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True,
             scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
             compiler_params=compiler_params,
             cost_estimate=cost,
-        )(lp_ext, live, skip_ok)
+        )(*args)
         return None, last
     return pallas_vma.pallas_call(
         functools.partial(_alpha_kernel, K),
@@ -229,7 +241,7 @@ def _alphas_pallas(lp_ext, live, skip_ok, emit_alphas=True,
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
         compiler_params=compiler_params,
         cost_estimate=cost,
-    )(lp_ext, live, skip_ok)
+    )(*args)
 
 
 def _beta_post_kernel(K, lp_ref, alphas_ref, islast_ref, live_ref,
@@ -276,29 +288,37 @@ def _beta_post_kernel(K, lp_ref, alphas_ref, islast_ref, live_ref,
         post_ref[...] = post_s[...].astype(post_ref.dtype)
 
 
-def _beta_post_ckpt_kernel(K, lp_ref, ckpt_ref, islast_ref, live_ref,
-                           skip_ref, skipn2_ref, beta_init_ref, logp_ref,
-                           post_ref, bstar_s, alpha_s, post_s=None):
+def _beta_post_ckpt_kernel(K, lp_ref, ckpt_ref, ckpt_prev_ref, first_ref,
+                           islast_ref, live_ref, skip_ref, skipn2_ref,
+                           beta_init_ref, logp_ref, bstar_in_ref,
+                           post_ref, bstar_out_ref, bstar_s, alpha_s,
+                           post_s=None):
     """Fused reverse pass: rebuild this K-block's alpha rows from the
     previous block's checkpoint (forward in k, pure VMEM), then advance
     beta and emit the posteriors exp(alpha + beta - logP) (reverse in k).
     One kernel replaces the backward's full-stream alpha re-run plus the
     separate beta/post pass — and the (T, B, S) f32 alpha stream never
-    touches HBM (at B=96 flagship shapes that stream alone is 1.6 GB, the
-    allocation that kept whole-sequence B=96 training from compiling).
+    touches HBM (at B=96 flagship shapes that stream alone is 1.6 GB).
+
+    The call may cover a time CHUNK rather than the whole sequence
+    (_ctc_bwd's chunked scan): ``bstar_in``/``bstar_out`` carry the beta
+    recursion state across chunks, ``ckpt_prev`` is the predecessor
+    chunk's last alpha checkpoint (feeds the chunk's first block), and
+    the scalar ``first`` flag selects the t=0 alpha seeding only for the
+    chunk that actually contains t=0.
 
     The alpha rebuild is bit-identical to ``_alpha_kernel``: same update,
-    same freeze rule, same t=0 seeding (selected by ``i_first`` since the
-    first time-block has no predecessor checkpoint)."""
+    same freeze rule, same t=0 seeding."""
     j = pl.program_id(0)
     NI = pl.num_programs(0)
     i_first = j == NI - 1          # reverse grid: block i = NI-1-j
 
     @pl.when(j == 0)
     def _():
-        bstar_s[:] = jnp.full_like(bstar_s[:], NEG_INF)
+        bstar_s[:] = bstar_in_ref[...]
 
-    carry = ckpt_ref[0]                       # alpha AFTER block i-1
+    carry = jnp.where(i_first, ckpt_prev_ref[...],
+                      ckpt_ref[0])            # alpha AFTER block i-1
     for k in range(K):
         lp = lp_ref[:, k].astype(jnp.float32)
         a1 = _shift_right_lanes(carry, 1)
@@ -310,7 +330,7 @@ def _beta_post_ckpt_kernel(K, lp_ref, ckpt_ref, islast_ref, live_ref,
         if k == 0:
             s_idx = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 1)
             seed = jnp.where(s_idx < 2, lp, NEG_INF)
-            new = jnp.where(i_first, seed, new)
+            new = jnp.where(i_first & (first_ref[0] > 0), seed, new)
         alpha_s[k] = new
         carry = new
 
@@ -333,43 +353,68 @@ def _beta_post_ckpt_kernel(K, lp_ref, ckpt_ref, islast_ref, live_ref,
         # _beta_post_kernel).
         post_ref[...] = post_s[...].astype(post_ref.dtype)
 
+    @pl.when(j == NI - 1)
+    def _():
+        bstar_out_ref[...] = bstar_s[:]
+
 
 def _posteriors_from_ckpt_pallas(lp_ext, ckpts, islast, live, skip_ok,
                                  skipn2, beta_init, logp,
-                                 post_dtype=jnp.float32):
+                                 post_dtype=jnp.float32,
+                                 ckpt_prev=None, first=None,
+                                 bstar_in=None):
     """Posteriors (B, T, S) from per-block alpha CHECKPOINTS (NI, B, S)
-    instead of the full alpha stream — see ``_beta_post_ckpt_kernel``."""
+    instead of the full alpha stream — see ``_beta_post_ckpt_kernel``.
+
+    With ``ckpt_prev``/``first``/``bstar_in`` the call covers one time
+    CHUNK of a longer sequence and also returns the outgoing beta-carry
+    ``bstar`` (B, S); without them it spans the whole (padded) sequence.
+    Returns (post, bstar_out)."""
     B, T, S = lp_ext.shape
     K = _time_block(B, S)
     assert T % K == 0, (T, K)
     NI = T // K
     assert ckpts.shape[0] == NI, (ckpts.shape, NI)
+    if ckpt_prev is None:
+        ckpt_prev = jnp.zeros((B, S), jnp.float32)      # unused: first=1
+    if first is None:
+        first = jnp.ones((1,), jnp.int32)
+    if bstar_in is None:
+        bstar_in = jnp.full((B, S), NEG_INF, jnp.float32)
     rev = lambda j: (0, NI - 1 - j, 0)
     revm = lambda j: (NI - 1 - j, 0, 0)
     prev = lambda j: (jnp.maximum(NI - 2 - j, 0), 0, 0)
+    const2 = lambda j: (0, 0)
     scratch = [
         pltpu.VMEM((B, S), jnp.float32),
         pltpu.VMEM((K, B, S), jnp.float32),
     ]
     if jnp.dtype(post_dtype) != jnp.float32:
         scratch.append(pltpu.VMEM((B, K, S), jnp.float32))
-    (post,) = pallas_vma.pallas_call(
+    post, bstar_out = pallas_vma.pallas_call(
         functools.partial(_beta_post_ckpt_kernel, K),
         grid=(NI,),
         in_specs=[
             pl.BlockSpec((B, K, S), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, S), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((K, 1, B), revm, memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 1, B), revm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, S), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((B, K, S), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S), const2, memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((B, T, S), post_dtype)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, S), post_dtype),
+            jax.ShapeDtypeStruct((B, S), jnp.float32),
+        ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(K, B, S),
@@ -379,8 +424,9 @@ def _posteriors_from_ckpt_pallas(lp_ext, ckpts, islast, live, skip_ok,
             bytes_accessed=T * B * S * (8 + jnp.dtype(post_dtype).itemsize),
             transcendentals=9 * T * B * S,
         ),
-    )(lp_ext, ckpts, islast, live, skip_ok, skipn2, beta_init, logp)
-    return post
+    )(lp_ext, ckpts, ckpt_prev, first, islast, live, skip_ok, skipn2,
+      beta_init, logp, bstar_in)
+    return post, bstar_out
 
 
 def _posteriors_pallas(lp_ext, alphas, islast, live, skipn2, beta_init,
@@ -497,42 +543,111 @@ def _lattice_inputs(log_probs, logit_lengths, labels, label_lengths,
     return ext, skip_ok.astype(jnp.float32), lp_ext, live
 
 
+def _chunk_plan(B: int, Tp: int, S: int):
+    """(K, G, NC): time block, K-blocks per chunk, chunk count for the
+    time-chunked fwd/bwd scans.  Chunks engage only when the lattice is
+    large enough to matter (>= 256 MB) — or always under
+    RST_CTC_CHUNKED=force (tests); "0" disables."""
+    import os
+
+    K = _time_block(B, S)
+    M = Tp // K
+    G = M
+    mode = os.environ.get("RST_CTC_CHUNKED", "1")
+    if mode == "force" and M > 1:
+        G = 1
+    elif mode != "0" and B * Tp * S * 4 >= (256 << 20):
+        for cand in range(1, M + 1):
+            if M % cand == 0 and cand * K >= 512:
+                G = cand
+                break
+    return K, G, M // G
+
+
 def _ctc_fwd_impl(logits, logit_lengths, labels, label_lengths, blank_id,
                   want_residuals):
     T, B, V = logits.shape
     if blank_id < 0:
         blank_id = V + blank_id
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    if want_residuals:
+        # Training forward: chunk the lattice construction + alpha
+        # checkpoint kernel over time when the lattice is large (the
+        # whole (B, Tp, S) f32 lattice was the forward-side HBM peak at
+        # B=96 flagship shapes), carrying the alpha row across chunks.
+        ext, skip_ok = _prepare(labels, blank_id, V)
+        skip_f = skip_ok.astype(jnp.float32)
+        S = ext.shape[1]
+        K, G, NC = _chunk_plan(B, -(-T // _time_block(B, S))
+                               * _time_block(B, S), S)
+        Tp = NC * G * K
+        lp_pad = log_probs
+        if Tp != T:
+            lp_pad = jnp.pad(log_probs, ((0, Tp - T), (0, 0), (0, 0)))
+        onehot = jax.nn.one_hot(ext, V, dtype=jnp.float32)
+        live = (
+            jnp.arange(Tp)[:, None] < logit_lengths[None, :]
+        ).astype(jnp.float32)[:, None, :]                 # (Tp, 1, B)
+        if NC > 1:
+            C = G * K
+            lp_chunks = jnp.transpose(lp_pad, (1, 0, 2)).reshape(
+                B, NC, C, V).transpose(1, 0, 2, 3)        # (NC, B, C, V)
+            live_chunks = live.reshape(NC, C, 1, B)
+            firsts = (jnp.arange(NC) == 0).astype(jnp.int32)[:, None]
+
+            def body(alpha, xs):
+                lp_bv, liv, fst = xs
+                lp_c = jax.lax.dot_general(
+                    lp_bv, onehot,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )                                         # (B, C, S)
+                ck, alpha = _alphas_pallas(
+                    lp_c, liv, skip_f, emit_alphas="ckpt",
+                    alpha_in=alpha, first=fst[0:1],
+                )
+                return alpha, ck
+
+            alpha0 = jnp.full((B, S), NEG_INF, jnp.float32)
+            last, ck_chunks = jax.lax.scan(
+                body, alpha0, (lp_chunks, live_chunks, firsts)
+            )                                             # (NC, G, B, S)
+            ckpts = ck_chunks.reshape(NC * G, B, S)
+        else:
+            lp_ext = jax.lax.dot_general(
+                jnp.transpose(lp_pad, (1, 0, 2)), onehot,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            ckpts, last = _alphas_pallas(lp_ext, live, skip_f,
+                                         emit_alphas="ckpt")
+        logp = _terminal_logp(last, label_lengths)
+        valid = (label_lengths <= logit_lengths) & (logit_lengths > 0)
+        loss = jnp.where(valid, -logp, 0.0)
+        residuals = (log_probs, ckpts, logp, ext, skip_f, live,
+                     logit_lengths, label_lengths, valid)
+        return loss, residuals
+
+    # Loss-only (eval) forward: whole lattice + loss-only alpha kernel —
+    # no residuals, memory is not the constraint there.  The (T, B, S)
+    # f32 alphas stream never hits HBM in ANY pass; the training
+    # forward/backward never materialize even the lattice whole (the
+    # chunked scans above / in _ctc_bwd), and the lattice is NOT a
+    # residual: the backward re-derives it from log_probs (30x smaller)
+    # behind an optimization barrier — carried across the LSTM residual
+    # production instead, XLA remat-"compressed" the 1.6 GB buffer into
+    # a second layout-changed copy and both coexisted at the HBM peak
+    # (measured +1.54 GB at B=96 flagship shapes).
     ext, skip_f, lp_ext, live = _lattice_inputs(
         log_probs, logit_lengths, labels, label_lengths, blank_id
     )
-    # The (T, B, S) f32 alphas stream never hits HBM — in EITHER pass.
-    # Loss-only forwards run the loss-only alpha kernel.  Training
-    # forwards emit per-K-block alpha CHECKPOINTS (T/K, B, S — K'th the
-    # footprint); the backward's fused kernel rebuilds each block's alpha
-    # rows in VMEM from its predecessor's checkpoint
-    # (``_beta_post_ckpt_kernel``), bit-identical to the forward
-    # recursion.  The f32 lattice itself is NOT a residual either: the
-    # backward re-derives it from log_probs (30x smaller) with the same
-    # single batch-major HIGHEST-precision einsum, behind an
-    # optimization barrier so CSE cannot unify the two dots into one
-    # buffer that lives across the whole LSTM residual production —
-    # carried across that gap, XLA remat-"compresses" the 1.6 GB lattice
-    # into a second layout-changed copy and the two coexist at the peak
-    # (measured +1.54 GB at B=96 flagship shapes: exactly the allocation
-    # that kept whole-sequence B=96 gates training from compiling).
-    if not want_residuals:
-        _, last = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=False)
-        logp = _terminal_logp(last, label_lengths)
-        valid = (label_lengths <= logit_lengths) & (logit_lengths > 0)
-        return jnp.where(valid, -logp, 0.0), None
-    ckpts, last = _alphas_pallas(lp_ext, live, skip_f, emit_alphas="ckpt")
+    _, last = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=False)
     logp = _terminal_logp(last, label_lengths)
     valid = (label_lengths <= logit_lengths) & (logit_lengths > 0)
-    loss = jnp.where(valid, -logp, 0.0)
-    residuals = (log_probs, ckpts, logp, ext, skip_f, live,
-                 logit_lengths, label_lengths, valid)
-    return loss, residuals
+    return jnp.where(valid, -logp, 0.0), None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -567,15 +682,19 @@ def _ctc_bwd(blank_id, post_dtype, residuals, g):
     # same batch-major HIGHEST-precision dot as the forward, on
     # barrier-wrapped log_probs so the two dots stay distinct HLO and the
     # lattice's live range never spans the LSTM residual production.
+    # (In the chunked path below the dot itself runs per chunk, so not
+    # even one pass's worth of whole lattice is ever materialized.)
     lp_b = jax.lax.optimization_barrier(log_probs)
     if Tp != T:
         lp_b = jnp.pad(lp_b, ((0, Tp - T), (0, 0), (0, 0)))
-    lp_ext = jax.lax.dot_general(
-        jnp.transpose(lp_b, (1, 0, 2)), onehot,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )                                                     # (B, Tp, S)
+
+    def _lattice_dot(lp_pad, oh):
+        return jax.lax.dot_general(
+            jnp.transpose(lp_pad, (1, 0, 2)), oh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                                 # (B, Tp, S)
 
     # Terminal beta at each row's last valid frame.
     s_idx = jnp.arange(S)[None, :]
@@ -594,48 +713,94 @@ def _ctc_bwd(blank_id, post_dtype, residuals, g):
 
     import os
 
+    # Chunk the backward over time: rebuild the lattice AND consume the
+    # posteriors per ~512-step chunk inside a reverse scan (beta state
+    # carried through the kernel's bstar in/out), so neither the f32
+    # lattice (1.6 GB at B=96 flagship shapes) nor the posterior stream
+    # (0.8 GB) ever exists whole — they were the CTC-stage HBM peak that
+    # made whole-sequence B=96 training fit only on lucky compiles.
+    K, G, NC = _chunk_plan(B, Tp, S)
+
+    def _label_post(post_c, oh):
+        if jnp.dtype(post_dtype) == jnp.bfloat16:
+            # bf16 posteriors feed the MXU natively — no split terms
+            # needed (the split exists to repair f32->bf16 operand
+            # rounding, and a bf16 stream is already bf16-exact) and no
+            # f32 copy of the stream is ever materialized.  Non-TPU dot
+            # thunks reject bf16 operands, so those platforms upcast —
+            # same numerics (both operands are bf16-exact).  Branch on
+            # the actual LOWERING platform, not jax.default_backend().
+            def _mxu_native(a, o):
+                return jnp.einsum(
+                    "bts,bsv->btv", a, o.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+
+            def _upcast(a, o):
+                return jnp.einsum(
+                    "bts,bsv->btv", a.astype(jnp.float32), o,
+                    preferred_element_type=jnp.float32,
+                )
+
+            return jax.lax.platform_dependent(
+                post_c, oh, tpu=_mxu_native, default=_upcast,
+            )
+        return _split_matmul(post_c, oh, "bts,bsv->btv")
+
     if os.environ.get("RST_CTC_ALPHA_STREAM", "0") == "1":
         # A/B fallback: materialize the full alpha stream (the round-4
         # two-pass backward) instead of the fused checkpoint rebuild.
+        lp_ext = _lattice_dot(lp_b, onehot)
         alphas, _ = _alphas_pallas(lp_ext, live, skip_f, emit_alphas=True)
         post = _posteriors_pallas(
             lp_ext, alphas, islast, live, skipn2, beta_init, logp[:, None],
             post_dtype=post_dtype,
         )
+        label_post = _label_post(post[:, :T], onehot)
+    elif NC > 1:
+        C = G * K
+        lp_chunks = jnp.transpose(lp_b, (1, 0, 2)).reshape(
+            B, NC, C, V).transpose(1, 0, 2, 3)            # (NC, B, C, V)
+        isl_chunks = islast.reshape(NC, C, 1, B)
+        live_chunks = live.reshape(NC, C, 1, B)
+        ckpt_chunks = ckpts.reshape(NC, G, B, S)
+        ckpt_prevs = jnp.concatenate(
+            [jnp.zeros((1, B, S), jnp.float32), ckpts[G - 1::G][:-1]],
+            axis=0,
+        )                                                 # (NC, B, S)
+        firsts = (jnp.arange(NC) == 0).astype(jnp.int32)[:, None]
+
+        def body(bstar, xs):
+            lp_bv, isl, liv, ck, ckp, fst = xs
+            lp_c = jax.lax.dot_general(
+                lp_bv, onehot,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )                                             # (B, C, S)
+            post_c, bstar = _posteriors_from_ckpt_pallas(
+                lp_c, ck, isl, liv, skip_f, skipn2, beta_init,
+                logp[:, None], post_dtype=post_dtype,
+                ckpt_prev=ckp, first=fst[0:1], bstar_in=bstar,
+            )
+            return bstar, _label_post(post_c, onehot)
+
+        bstar0 = jnp.full((B, S), NEG_INF, jnp.float32)
+        _, lp_out = jax.lax.scan(
+            body, bstar0,
+            (lp_chunks, isl_chunks, live_chunks, ckpt_chunks,
+             ckpt_prevs, firsts),
+            reverse=True,
+        )                                                 # (NC, B, C, V)
+        label_post = lp_out.transpose(1, 0, 2, 3).reshape(
+            B, Tp, V)[:, :T]
     else:
-        post = _posteriors_from_ckpt_pallas(
+        lp_ext = _lattice_dot(lp_b, onehot)
+        post, _ = _posteriors_from_ckpt_pallas(
             lp_ext, ckpts, islast, live, skip_f, skipn2, beta_init,
             logp[:, None], post_dtype=post_dtype,
         )
-
-    if jnp.dtype(post_dtype) == jnp.bfloat16:
-        # bf16 posteriors feed the MXU natively — no split terms needed
-        # (the split exists to repair f32->bf16 operand rounding, and a
-        # bf16 stream is already bf16-exact) and, critically, no f32 copy
-        # of the (T, B, S) stream is ever materialized.  Non-TPU dot
-        # thunks reject bf16 operands, so those platforms upcast — same
-        # numerics (both operands are bf16-exact), only an f32 copy that
-        # the memory-constrained TPU path avoids.  Branch on the actual
-        # LOWERING platform, not jax.default_backend(): compiling for a
-        # non-default backend (jit(..., backend="cpu") on a TPU host)
-        # must still take the upcast path.
-        def _mxu_native(a, oh):
-            return jnp.einsum(
-                "bts,bsv->btv", a, oh.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-
-        def _upcast(a, oh):
-            return jnp.einsum(
-                "bts,bsv->btv", a.astype(jnp.float32), oh,
-                preferred_element_type=jnp.float32,
-            )
-
-        label_post = jax.lax.platform_dependent(
-            post[:, :T], onehot, tpu=_mxu_native, default=_upcast,
-        )
-    else:
-        label_post = _split_matmul(post[:, :T], onehot, "bts,bsv->btv")
+        label_post = _label_post(post[:, :T], onehot)
     # (B, T, V) -> (T, B, V): a small transpose (V is the vocab, ~30x
     # narrower than the lattice the old layout transposed).
     grad = jnp.exp(log_probs) - jnp.transpose(label_post, (1, 0, 2))

@@ -362,3 +362,36 @@ def test_pallas_blocked_time_edges(monkeypatch):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pal_grad), np.asarray(ref_grad),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_backward_matches_reference(monkeypatch):
+    """The time-chunked CTC backward (lattice rebuilt and posteriors
+    consumed per chunk inside a reverse scan, beta state carried through
+    the kernel's bstar in/out) is bit-identical to the scan reference —
+    chunk boundaries, the cross-chunk alpha-checkpoint handoff, and the
+    t=0 seeding flag must all land exactly."""
+    monkeypatch.setenv("RST_CTC_CHUNKED", "force")
+    monkeypatch.setenv("RST_CTC_KBLOCK", "8")
+    from jax.experimental.pallas import tpu as pltpu
+
+    ctc_pallas = _pallas_ctc()
+
+    rng = np.random.RandomState(7)
+    T, B, V, L = 40, 4, 10, 6
+    logits = jnp.asarray(rng.randn(T, B, V), jnp.float32)
+    ll = jnp.asarray([40, 23, 8, 40], jnp.int32)
+    labels = jnp.asarray(rng.randint(0, V - 1, (B, L)), jnp.int32)
+    lab_len = jnp.asarray([6, 3, 1, 5], jnp.int32)
+
+    def loss_pal(x):
+        return ctc_pallas.ctc_loss(x, ll, labels, lab_len).sum()
+
+    def loss_ref(x):
+        return ctc.ctc_loss(x, ll, labels, lab_len).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        vp, gp = jax.value_and_grad(loss_pal)(logits)
+    vr, gr = jax.value_and_grad(loss_ref)(logits)
+    np.testing.assert_allclose(float(vp), float(vr), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=1e-5, atol=1e-6)

@@ -118,6 +118,10 @@ def main() -> int:
         lvl: p for lvl, p in paired.items()
         if p["delta_wer_ci95"][0] > 0.0
     }
+    significant_lm = {
+        lvl: p for lvl, p in paired.items()
+        if "lm" in p and p["lm"]["delta_wer_ci95"][0] > 0.0
+    }
     result = {
         "task": "decode-only beam-vs-greedy statistics from the committed "
                 "bundle on a fresh disjoint held-out set",
@@ -131,6 +135,8 @@ def main() -> int:
         "beam_vs_greedy_paired": paired,
         "significant_levels": sorted(significant),
         "beam_beats_greedy_significant": bool(significant),
+        "significant_levels_lm": sorted(significant_lm),
+        "beam_lm_beats_greedy_significant": bool(significant_lm),
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:

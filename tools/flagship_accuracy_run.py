@@ -399,19 +399,30 @@ def decode_table(config, char_map, eval_points, beam_width: int,
                   f"WER {table[name]['wer']}% CER {table[name]['cer']}% "
                   f"({w_edits}/{n_words_tot} word edits)", flush=True)
         beam_key = f"beam{beam_width}"
-        deltas = per_clip_wer["greedy"] - per_clip_wer[beam_key]
-        rng = np.random.default_rng(1)
-        idx = rng.integers(0, len(deltas), (1000, len(deltas)))
-        boot = deltas[idx].mean(axis=1)
-        paired[level] = {
-            "delta_wer": round(100.0 * float(deltas.mean()), 2),
-            "delta_wer_ci95": [
-                round(100.0 * float(np.percentile(boot, 2.5)), 2),
-                round(100.0 * float(np.percentile(boot, 97.5)), 2),
-            ],
-            "delta_word_edits": int(table["greedy"]["word_edits"]
-                                    - table[beam_key]["word_edits"]),
-        }
+
+        def _paired(key, seed):
+            # Positive delta = that decoder beats greedy.
+            deltas = per_clip_wer["greedy"] - per_clip_wer[key]
+            rng = np.random.default_rng(seed)
+            idx = rng.integers(0, len(deltas), (1000, len(deltas)))
+            boot = deltas[idx].mean(axis=1)
+            return {
+                "delta_wer": round(100.0 * float(deltas.mean()), 2),
+                "delta_wer_ci95": [
+                    round(100.0 * float(np.percentile(boot, 2.5)), 2),
+                    round(100.0 * float(np.percentile(boot, 97.5)), 2),
+                ],
+                "delta_word_edits": int(table["greedy"]["word_edits"]
+                                        - table[key]["word_edits"]),
+            }
+
+        paired[level] = _paired(beam_key, 1)
+        lm_key = f"{beam_key}_lm"
+        if lm_key in per_clip_wer:
+            # The production quality path is beam WITH shallow fusion
+            # (the reference's roadmap item 3); its paired delta is the
+            # claim that matters.
+            paired[level]["lm"] = _paired(lm_key, 2)
         sweep[str(level)] = table
     return sweep, {str(k): v for k, v in paired.items()}
 

@@ -546,7 +546,7 @@ def main() -> None:
     import sys
     import traceback
 
-    value = bench_tpu()
+    value, eval_spread, _vals = bench_tpu()
     try:
         baseline = bench_torch_cpu()
     except Exception:
@@ -558,6 +558,7 @@ def main() -> None:
         "value": round(value, 3),
         "unit": "utt/s",
         "vs_baseline": round(vs, 3),
+        "eval_spread_pct": eval_spread,
     }
     peak = _peak_flops()
     if peak:
